@@ -1,0 +1,18 @@
+"""t20_database_etl_pipeline_assignment_spark — a PySpark-native analytics/ETL
+engine with the declared capability surface of the reference
+(sankarbvsb1543/T20-Database-ETL-Pipeline-Assignment) re-expressed Spark-first.
+
+Importing this package registers every implemented operator from SURVEY.md §2
+into `registry.QUERIES` / `registry.ORACLES`; `__spark_entry__.py` re-exports
+them for the driver.
+"""
+
+from __future__ import annotations
+
+from . import exprs, registry, session  # noqa: F401
+from .sources import tables  # noqa: F401
+
+# Operator modules register themselves on import.
+from .operators import star  # noqa: F401
+
+__all__ = ["registry", "session", "exprs", "tables"]

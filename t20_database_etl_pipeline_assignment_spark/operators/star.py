@@ -1,0 +1,80 @@
+"""Flagship query: revenue by region and order-year over the 5-way star join.
+
+Reference parity: the reference's core declared workload is dimensional
+ETL + analysis over a star schema (reference README.md:2 "process and manage
+... match data", README.md:6 dimensions, README.md:10 "querying and
+analysis"). This is the canonical star-navigation query shape:
+lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, filter, group, aggregate.
+
+Spark-first physical design (verified via .explain("formatted")):
+- The date filter on l_shipdate and the column projection push down into the
+  Parquet scan (PushedFilters / ReadSchema) — at 100 TB this skips row groups
+  server-side instead of filtering 100 TB in memory.
+- nation/region/customer/supplier are small dims: Spark broadcasts them
+  (autoBroadcastJoinThreshold + AQE), so the only shuffle is lineitem⋈orders;
+  we give the optimizer an explicit `broadcast()` hint for nation/region so
+  the plan is stable even without fresh stats.
+- The aggregation is a partial (map-side) hash agg then a final agg on the
+  (r_name, year) keys — low-cardinality, no skew concern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exprs import money_sum, sql_money_sum
+from ..registry import query
+from ..sources.tables import table
+
+_SHIP_LO = "1996-01-01"
+_SHIP_HI = "1999-01-01"
+
+ORACLE_STAR = f"""
+SELECT
+  r_name,
+  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  {sql_money_sum("l_extendedprice * (1 - l_discount)", 10000)} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE l_shipdate >= TIMESTAMP '{_SHIP_LO}'
+  AND l_shipdate <  TIMESTAMP '{_SHIP_HI}'
+GROUP BY r_name, order_year
+"""
+
+
+@query("join_multiway_star", oracle=ORACLE_STAR)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_SHIP_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_SHIP_HI).cast("timestamp"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            money_sum(revenue, 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Entry-point wrapper used by the driver smoke check."""
+    return join_multiway_star(spark, sf_dir)

@@ -1,0 +1,42 @@
+"""SparkSession factory with deterministic, scale-oriented defaults.
+
+Reference parity: the reference declares "fine-tuning Spark configurations,
+partitioning data, and leveraging parallel processing" (reference README.md:8)
+and an ETL that must produce consistent results (README.md:12). We centralize
+session construction so every entry point (driver contract, tests, bench) runs
+with identical, deterministic configuration:
+
+- UTC session timezone (hash-stable timestamps vs the DuckDB oracle).
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  broadcast-join conversion — the mechanisms that keep these plans healthy when
+  the same code runs on a 1000-executor cluster instead of local[32].
+- Arrow-accelerated Python<->JVM transfer for the pandas-UDF surface.
+
+At 100 TB the same code runs unchanged; only `master`, executor sizing, and
+`spark.sql.shuffle.partitions` (left to AQE) change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "t20-etl-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Modest static number; AQE coalesces down / splits skew at runtime.
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("T20_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
