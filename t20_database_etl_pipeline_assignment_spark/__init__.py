@@ -13,6 +13,6 @@ from . import exprs, registry, session  # noqa: F401
 from .sources import tables  # noqa: F401
 
 # Operator modules register themselves on import.
-from .operators import star  # noqa: F401
+from .operators import aggregates, relational, star, windows  # noqa: F401
 
 __all__ = ["registry", "session", "exprs", "tables"]

@@ -1,0 +1,256 @@
+"""Aggregation operators (SURVEY.md §2.D) — the "querying and analysis"
+surface the reference loads its warehouse for (reference README.md:10).
+
+All float aggregates use exact-integer arithmetic (exprs.py) so Spark's
+parallel partial-aggregation order can never produce different bits from the
+single-threaded DuckDB oracle. At 100 TB the same property means no
+precision drift across billions of rows, and every groupBy below does
+map-side partial aggregation before its shuffle (hash agg on low-cardinality
+keys — verified HashAggregate pairs in .explain()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exprs import money_avg, money_sum, scaled_long, sql_money_avg, sql_money_sum
+from ..registry import query
+from ..sources.tables import table
+
+
+@query(
+    "agg_hash_group",
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {sql_money_sum("l_quantity")} AS sum_qty,
+       {sql_money_sum("l_extendedprice")} AS sum_base_price,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", 10000)} AS sum_disc_price,
+       {sql_money_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1000000)} AS sum_charge,
+       {sql_money_avg("l_quantity")} AS avg_qty,
+       {sql_money_avg("l_extendedprice")} AS avg_price,
+       {sql_money_avg("l_discount")} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide hash aggregation."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
+        money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        money_sum(disc_price, 10000).alias("sum_disc_price"),
+        money_sum(charge, 1000000).alias("sum_charge"),
+        money_avg(F.col("l_quantity")).alias("avg_qty"),
+        money_avg(F.col("l_extendedprice")).alias("avg_price"),
+        money_avg(F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT c_nationkey) AS n_nations
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@query("agg_approx_distinct")  # approximate → rows-only check (SURVEY.md §2.D)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct: the 100 TB substitute for exact COUNT(DISTINCT) —
+    mergeable sketches, no second shuffle, bounded memory per group."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+SELECT o_custkey, {sql_money_sum("o_totalprice")} AS total_spent,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING {sql_money_sum("o_totalprice")} > 1000000.0
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            money_sum(F.col("o_totalprice")).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("total_spent") > 1000000.0)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+SELECT r_name, n_name,
+       COUNT(*) AS n_customers,
+       {sql_money_sum("c_acctbal")} AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_money_sum("o_totalprice")} AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT c_mktsegment, c_nationkey,
+       COUNT(*) AS n,
+       {sql_money_sum("c_acctbal")} AS total_bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("t20_customer_gs")
+    return spark.sql(
+        """
+SELECT c_mktsegment, c_nationkey,
+       COUNT(*) AS n,
+       SUM(CAST(FLOOR(c_acctbal * 100 + 0.5D) AS BIGINT)) / 100.0D AS total_bal
+FROM t20_customer_gs
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+"""
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list: no extra distinct-values job, and
+    a stable output schema — both required at scale and for the oracle."""
+    e = table(spark, sf_dir, "events")
+    piv = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count().na.fill(0)
+    return piv.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+SELECT n_name,
+       SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) / 100.0 AS urgent_total,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    urgent_cents = F.when(
+        F.col("o_orderpriority") == "1-URGENT",
+        scaled_long(F.col("o_totalprice"), 100),
+    ).otherwise(F.lit(0))
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(urgent_cents) / F.lit(100.0)).alias("urgent_total"),
+            F.count(F.when(F.col("o_orderstatus") == "F", F.lit(1))).alias("n_finished"),
+        )
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+SELECT r_name,
+       array_to_string(list_sort(list(n_name)), ',') AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is unordered by contract → wrap in sort_array and render
+    as a string for a deterministic, hashable value (SURVEY.md §2 preamble)."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"))
+    )

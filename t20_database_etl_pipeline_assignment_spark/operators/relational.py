@@ -1,0 +1,462 @@
+"""Core relational operators: projections, filters, joins, sorts, set ops.
+
+Reference parity: SURVEY.md §2.B/C/F, derived from the reference's declared
+transform surface (reference README.md:10 "extract raw data … transform it
+using PySpark … for querying and analysis") and its dimensional model
+(README.md:2,6). Everything here is stock DataFrame API — Catalyst gets the
+whole plan declaratively, so pushdown/pruning/join-strategy selection are
+automatic.
+
+Scale notes (100 TB):
+- Dim-side joins (`nation`, `region`, `customer` at dim scale) broadcast;
+  fact⋈fact joins shuffle on their keys with AQE skew splitting.
+- Non-equi predicates ride on top of an equi key wherever possible
+  (join_theta_range keeps l_orderkey=o_orderkey as the hash key, the range
+  is a residual filter) — a pure range join at 100 TB would need bucketing.
+- Top-k is `orderBy().limit(k)` → Spark's TakeOrderedAndProject: per-partition
+  heaps + driver merge of k rows, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exprs import money_sum, sql_money_sum
+from ..registry import query
+from ..sources.tables import table
+
+
+# ---------------------------------------------------------------------------
+# §2.B — projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "project_select",
+    oracle="""
+SELECT l_orderkey AS okey,
+       l_linenumber AS line_no,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem
+""",
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line_no"),
+        revenue.alias("revenue"),
+        (revenue * (F.lit(1) + F.col("l_tax"))).alias("charge"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderstatus IN ('F', 'P')
+  AND o_totalprice BETWEEN 50000 AND 150000
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_custkey IS NOT NULL
+""",
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(50000, 150000)
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
+    "filter_like",
+    oracle="""
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_type LIKE '%PROMO%'
+   OR regexp_matches(p_type, '(ECONOMY|STANDARD)')
+""",
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%PROMO%") | F.col("p_type").rlike("(ECONOMY|STANDARD)")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "case_when",
+    oracle=f"""
+SELECT CASE WHEN o_totalprice > 250000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       COUNT(*) AS n_orders,
+       {sql_money_sum("o_totalprice")} AS total
+FROM orders
+GROUP BY bucket
+""",
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") > 250000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.C — joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, F.col("o_custkey") == F.col("c_custkey"), "inner").select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle=f"""
+SELECT c_custkey,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE({sql_money_sum("o_totalprice")}, 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(money_sum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+WITH old AS (SELECT c_custkey AS k, c_acctbal AS old_bal FROM customer WHERE c_custkey % 2 = 0),
+     new AS (SELECT c_custkey AS k, c_acctbal + 100.0 AS new_bal FROM customer WHERE c_custkey % 3 = 0)
+SELECT COALESCE(old.k, new.k) AS k,
+       old_bal,
+       new_bal,
+       old.k IS NOT NULL AS in_old,
+       new.k IS NOT NULL AS in_new
+FROM old FULL OUTER JOIN new ON old.k = new.k
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("k_old"), F.col("c_acctbal").alias("old_bal")
+    )
+    new = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k_new"), (F.col("c_acctbal") + F.lit(100.0)).alias("new_bal")
+    )
+    return old.join(new, F.col("k_old") == F.col("k_new"), "full_outer").select(
+        F.coalesce("k_old", "k_new").alias("k"),
+        "old_bal",
+        "new_bal",
+        F.col("k_old").isNotNull().alias("in_old"),
+        F.col("k_new").isNotNull().alias("in_new"),
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — also the new-key detection primitive inside incremental
+    load (reference README.md:4 "incremental load … to handle large datasets")."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint: at 100 TB the fact side never shuffles for a
+    dim join — the dim ships to every executor (reference README.md:8)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "join_theta_range",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       {sql_money_sum("l_extendedprice")} AS total_price
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range predicate riding on an equi hash key: Catalyst keeps
+    l_orderkey=o_orderkey as the join key and evaluates the date range as a
+    residual — no quadratic blowup at scale."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_sum(F.col("l_extendedprice")).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_asof_scd2",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey AS k, c_acctbal AS bal,
+         TIMESTAMP '1990-01-01' AS eff_from,
+         CASE WHEN c_custkey % 2 = 0 THEN TIMESTAMP '1998-01-01'
+              ELSE TIMESTAMP '9999-12-31' END AS eff_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 50.0,
+         TIMESTAMP '1998-01-01', TIMESTAMP '9999-12-31'
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT o_orderkey, o_custkey, bal AS bal_at_order,
+       eff_from AS version_from
+FROM orders JOIN dim
+  ON o_custkey = k AND o_orderdate >= eff_from AND o_orderdate < eff_to
+""",
+)
+def join_asof_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each fact row resolves to the dimension
+    version valid at fact time — the SCD2 lookup shape (reference README.md:6
+    "enabling historical analysis"). The versioned dim is derived
+    deterministically from `customer` so the oracle sees identical inputs.
+
+    Scale: the versioned dim is usually dim-sized → broadcast; if not,
+    bucket both sides by key so the range predicate is a residual."""
+    c = table(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1990-01-01").cast("timestamp").alias("eff_from"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("1998-01-01"))
+        .otherwise(F.lit("9999-12-31"))
+        .cast("timestamp")
+        .alias("eff_to"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal") + F.lit(50.0)).alias("bal"),
+        F.lit("1998-01-01").cast("timestamp").alias("eff_from"),
+        F.lit("9999-12-31").cast("timestamp").alias("eff_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = table(spark, sf_dir, "orders")
+    cond = (
+        (F.col("o_custkey") == F.col("k"))
+        & (F.col("o_orderdate") >= F.col("eff_from"))
+        & (F.col("o_orderdate") < F.col("eff_to"))
+    )
+    return o.join(F.broadcast(dim), cond).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("bal").alias("bal_at_order"),
+        F.col("eff_from").alias("version_from"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.F — sorts / limits / top-k / set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_multikey",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+ORDER BY o_orderpriority ASC NULLS LAST, o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(
+            F.asc_nulls_last("o_orderpriority"),
+            F.desc("o_totalprice"),
+            F.asc("o_orderkey"),
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .limit(100)
+    )
+
+
+@query(
+    "topk_global",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 50
+""",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k without a global sort: TakeOrderedAndProject keeps a
+    k-row heap per partition and merges k·P rows on the driver."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(50)
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return o.filter(F.col("o_orderstatus") == "F").unionByName(
+        o.filter(F.col("o_orderstatus") == "O")
+    )
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+UNION
+SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+""",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.filter(F.col("c_custkey") % 2 == 0)
+        .unionByName(c.filter(F.col("c_custkey") % 3 == 0))
+        .distinct()
+    )
+
+
+@query(
+    "set_intersect",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    return c.filter(F.col("c_custkey") % 2 == 0).intersect(
+        c.filter(F.col("c_custkey") % 3 == 0)
+    )
+
+
+@query(
+    "set_except",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    return c.filter(F.col("c_custkey") % 2 == 0).subtract(
+        c.filter(F.col("c_custkey") % 3 == 0)
+    )

@@ -1,0 +1,198 @@
+"""Window-function operators (SURVEY.md §2.E).
+
+Reference parity: SCD2 history reconstruction and "historical analysis"
+(reference README.md:6) are window-shaped — lag/lead derive effective date
+ranges, row_number picks survivors, running aggregates serve the analysis
+surface (README.md:10).
+
+Determinism: every window ORDER BY ends in a unique tie-break key, and every
+frame is stated explicitly — implicit frames differ between engines once ties
+exist. Running/moving float sums use exact-integer cents (exprs.py).
+
+Scale: a window over PARTITION BY k is one shuffle on k; the per-partition
+sort spills gracefully. Skewed partition keys (one giant customer) are the
+thing to watch at 100 TB — AQE does not split window skew, so pick partition
+keys with bounded cardinality per key (or pre-bucket by key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import scaled_long
+from ..registry import query
+from ..sources.tables import table
+
+
+@query(
+    "win_row_number_topk",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def win_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: rank-and-filter. Catalyst pushes the rn<=3 filter
+    into the window sort (WindowGroupLimit) so each partition keeps 3 rows."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, order_year,
+       RANK()       OVER (PARTITION BY o_orderstatus ORDER BY order_year) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY order_year) AS drnk,
+       NTILE(4)     OVER (PARTITION BY o_orderstatus
+                          ORDER BY order_year, o_orderkey) AS quartile
+FROM (SELECT o_orderkey, o_orderstatus,
+             CAST(year(o_orderdate) AS BIGINT) AS order_year
+      FROM orders)
+""",
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    w_ties = Window.partitionBy("o_orderstatus").orderBy("order_year")
+    w_total = Window.partitionBy("o_orderstatus").orderBy("order_year", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "order_year",
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       LAG(o_orderdate)  OVER w AS prev_order,
+       LEAD(o_orderdate) OVER w AS next_order,
+       date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over the (key, time) window — the SCD2 effective-date
+    derivation primitive (reference README.md:6)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        prev.alias("prev_order"),
+        F.lead("o_orderdate").over(w).alias("next_order"),
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         AS running_spend
+FROM orders
+""",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(scaled_long(F.col("o_totalprice"), 100)).over(w) / F.lit(100.0)).alias(
+            "running_spend"
+        ),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+SELECT event_id, user_id, ts,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+         / (100.0 * COUNT(*) OVER w) AS avg_7d
+FROM (SELECT event_id, user_id, ts, value,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day event-time moving average via a RANGE frame on epoch seconds."""
+    e = table(spark, sf_dir, "events").withColumn("ts_sec", F.col("ts").cast("long"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-6 * 86400, 0)
+    )
+    avg_7d = F.sum(scaled_long(F.col("value"), 100)).over(w) / (
+        F.lit(100.0) * F.count(F.lit(1)).over(w)
+    )
+    return e.select("event_id", "user_id", "ts", avg_7d.alias("avg_7d"))
+
+
+@query(
+    "win_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderstatus) OVER w AS first_status,
+       LAST_VALUE(o_orderstatus)  OVER w AS latest_status,
+       FIRST_VALUE(o_orderdate)   OVER w AS first_order_date,
+       LAST_VALUE(o_orderdate)    OVER w AS latest_order_date
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over an explicit full-partition frame — the Type-1
+    latest-wins attribute resolution shape (reference README.md:6)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderstatus").over(w).alias("first_status"),
+        F.last("o_orderstatus").over(w).alias("latest_status"),
+        F.first("o_orderdate").over(w).alias("first_order_date"),
+        F.last("o_orderdate").over(w).alias("latest_order_date"),
+    )

@@ -38,5 +38,9 @@ def get_spark(app_name: str = "t20-etl-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("T20_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+        # reader rejects; read as long nanos and convert in the scan layer
+        # (sources/tables.py) — same ns→µs truncation DuckDB applies.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()

@@ -14,6 +14,7 @@ unchanged, and `spark.sql.files.maxPartitionBytes` controls split sizing.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = [
     "region",
@@ -30,7 +31,20 @@ TABLE_NAMES = [
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table. Columnar, pruned, pushdown-capable."""
+    """Scan one fixture table. Columnar, pruned, pushdown-capable.
+
+    `events.ts` is TIMESTAMP(NANOS) in Parquet, which Spark has no native
+    type for (TimestampType is µs). With `spark.sql.legacy.parquet.
+    nanosAsLong=true` it arrives as long nanoseconds; we convert to a µs
+    timestamp with integer arithmetic (`div 1000` — exact, and identical to
+    DuckDB's ns→µs truncation). Cost at scale: predicates on `ts` can't push
+    into this scan as timestamp stats — a production layout would store µs;
+    the conversion is confined here so every operator sees a plain
+    TimestampType column.
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
