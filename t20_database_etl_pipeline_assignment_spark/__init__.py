@@ -11,8 +11,19 @@ from __future__ import annotations
 
 from . import exprs, registry, session  # noqa: F401
 from .sources import tables  # noqa: F401
+from .functions import scalar  # noqa: F401
+from .streaming import windows as stream_windows  # noqa: F401
 
 # Operator modules register themselves on import.
-from .operators import aggregates, relational, star, windows  # noqa: F401
+from .operators import (  # noqa: F401
+    aggregates,
+    etl,
+    llm,
+    multimodal,
+    relational,
+    star,
+    udfs,
+    windows,
+)
 
 __all__ = ["registry", "session", "exprs", "tables"]

@@ -1,0 +1,253 @@
+"""Scalar function surface (SURVEY.md §2.G) — the reference's "transform it
+using PySpark" step (reference README.md:10) and the row-hash machinery its
+SCD change detection needs (README.md:6).
+
+Each query exercises one function family as a single scan+project plan —
+pure whole-stage-codegen, no shuffle, no UDFs. Cross-engine semantic traps
+handled here (documented because they WILL bite again):
+- Spark dayofweek() is 1=Sunday, DuckDB's is 0=Sunday → use ISO weekday.
+- Spark ceil/floor(double) return LONG, DuckDB's return DOUBLE → cast.
+- DuckDB CAST(double AS BIGINT) *rounds*, Spark cast truncates → floor first.
+- DuckDB regexp_replace replaces the first match unless given the 'g' flag;
+  Spark always replaces all.
+- DuckDB date_trunc('month', ts) returns DATE → cast back to TIMESTAMP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import table
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS seg_lower,
+       trim(c_name) AS name_trim,
+       substring(c_name, 10, 8) AS name_digits,
+       concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       regexp_replace(c_name, '0', '', 'g') AS no_zeros,
+       lpad(CAST(c_nationkey AS VARCHAR), 5, '0') AS nation_padded,
+       split_part(c_name, '#', 2) AS after_hash
+FROM customer
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.trim("c_name").alias("name_trim"),
+        F.substring("c_name", 10, 8).alias("name_digits"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "0", "").alias("no_zeros"),
+        F.lpad(F.col("c_nationkey").cast("string"), 5, "0").alias("nation_padded"),
+        F.expr("split_part(c_name, '#', 2)").alias("after_hash"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(day(o_orderdate) AS BIGINT) AS order_day,
+       CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+FROM orders
+""",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date math incl. the watermark arithmetic incremental load relies on
+    (reference README.md:4)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        (F.weekday("o_orderdate") + F.lit(1)).cast("long").alias("iso_weekday"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_add("o_orderdate", 30).cast("timestamp").alias("due_date"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT o_orderkey,
+       round(o_totalprice, 1) AS price_round,
+       abs(o_totalprice - 100000.0) AS price_dev,
+       CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+       round(pow(o_totalprice, 0.5), 6) AS price_sqrt_pow,
+       round(sqrt(o_totalprice), 6) AS price_sqrt,
+       round(log10(o_totalprice), 6) AS price_log10,
+       greatest(o_totalprice, 100000.0) AS price_hi,
+       least(o_totalprice, 100000.0) AS price_lo
+FROM orders
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(p, 1).alias("price_round"),
+        F.abs(p - F.lit(100000.0)).alias("price_dev"),
+        F.ceil(p).alias("price_ceil"),
+        F.floor(p).alias("price_floor"),
+        F.round(F.pow(p, F.lit(0.5)), 6).alias("price_sqrt_pow"),
+        F.round(F.sqrt(p), 6).alias("price_sqrt"),
+        F.round(F.log10(p), 6).alias("price_log10"),
+        F.greatest(p, F.lit(100000.0)).alias("price_hi"),
+        F.least(p, F.lit(100000.0)).alias("price_lo"),
+    )
+
+
+@query(
+    "fn_cast_coalesce",
+    oracle="""
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_resolved,
+       NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS priority_or_null,
+       COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'UNKNOWN') AS priority_nvl
+FROM orders
+""",
+)
+def fn_cast_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type conformance — "data integrity and consistency" (README.md:12)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.floor("o_totalprice").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_resolved"
+        ),
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias(
+            "priority_or_null"
+        ),
+        F.nvl(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")), F.lit("UNKNOWN")
+        ).alias("priority_nvl"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+SELECT c_custkey,
+       sha256(concat_ws('||', c_name, c_mktsegment,
+                        CAST(c_nationkey AS VARCHAR),
+                        CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)))
+         AS row_sha256,
+       md5(c_name) AS name_md5
+FROM customer
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-hash for SCD change detection (reference README.md:6) and dedup
+    keys. Doubles enter the hash as exact scaled integers — double→string
+    formatting is NOT guaranteed identical across engines."""
+    c = table(spark, sf_dir, "customer")
+    from ..exprs import scaled_long
+
+    return c.select(
+        "c_custkey",
+        F.sha2(
+            F.concat_ws(
+                "||",
+                F.col("c_name"),
+                F.col("c_mktsegment"),
+                F.col("c_nationkey").cast("string"),
+                scaled_long(F.col("c_acctbal"), 100).cast("string"),
+            ),
+            256,
+        ).alias("row_sha256"),
+        F.md5("c_name").alias("name_md5"),
+    )
+
+
+@query("fn_hash_xxhash64")  # no DuckDB equivalent → rows-only check
+def fn_hash_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64: the cheap 64-bit partition/shuffle-grade hash (JVM
+    intrinsic, ~10× faster than sha2) — what we use at 100 TB for salting,
+    sampling, and dedup bucketing where cryptographic strength is wasted."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name", "c_mktsegment").alias("xx64"),
+        (F.pmod(F.xxhash64("c_custkey"), F.lit(16))).alias("salt_bucket"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       list_contains(toks, 'the') AS has_the,
+       array_to_string(toks[1:5], ' ') AS first5,
+       array_to_string(list_sort(toks[1:5]), ' ') AS first5_sorted,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique
+FROM t
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("first5"),
+        F.concat_ws(" ", F.sort_array(F.slice(toks, 1, 5))).alias("first5_sorted"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    )
+
+
+@query(
+    "fn_map_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       array_to_string(json_keys(props), ',') AS prop_keys
+FROM events
+""",
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access over events.props (JSON string) — schema-on-read
+    for the "multiple sources" ingestion surface (reference README.md:10)."""
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "map<string,string>")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+        F.concat_ws(",", F.map_keys(parsed)).alias("prop_keys"),
+    )

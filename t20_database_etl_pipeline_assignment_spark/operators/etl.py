@@ -1,0 +1,482 @@
+"""ETL composite operators (SURVEY.md §2.H) — the reference's headline
+features re-expressed as composable DataFrame plan builders.
+
+Reference parity:
+- incremental + full load strategies        (reference README.md:4,14)
+- SCD Type 1 and Type 2 with history        (reference README.md:6,14)
+- error handling / data integrity           (reference README.md:12)
+
+Design rules:
+- Library functions take DataFrames and return DataFrames — they build
+  logical plans, never execute row-at-a-time. `batch_ts` is always a
+  parameter (never current_timestamp) for deterministic, replayable runs.
+- Change detection hashes scaled-integer renderings of numeric attrs
+  (sha2-256) — stable across runs and engines, and cheap to compare before
+  any shuffle.
+- Scale: each composite is one or two key-partitioned shuffles. The staged
+  batch is usually ≪ target → Spark broadcasts it; the target never needs a
+  global sort. The registry queries derive (target, staged) pairs
+  deterministically from `customer` (FIXTURES.md) so the DuckDB oracle sees
+  identical inputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import table
+
+_FAR_FUTURE = "2200-01-01"  # open-ended sentinel; 9999-12-31 overflows datetime64[ns]
+
+
+def _row_hash(cols: Sequence[str]) -> Column:
+    """Order-stable attribute hash for change detection (README.md:6)."""
+    return F.sha2(F.concat_ws("||", *[F.col(c).cast("string") for c in cols]), 256)
+
+
+# ---------------------------------------------------------------------------
+# Library functions
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(
+    target: DataFrame, staged: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """MERGE semantics without a table format: latest-wins per key.
+
+    staged rows shadow target rows on the same key; net-new keys insert.
+    One shuffle on the key. Deterministic survivor via explicit priority +
+    row_number (dropDuplicates makes no ordering promise).
+    """
+    t = target.withColumn("_src", F.lit(0))
+    s = staged.withColumn("_src", F.lit(1))
+    w = Window.partitionBy(*keys).orderBy(F.desc("_src"))
+    return (
+        t.unionByName(s)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )
+
+
+def scd1_apply(
+    target: DataFrame,
+    staged: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+) -> DataFrame:
+    """SCD Type 1: overwrite changed attributes in place, keep no history
+    (reference README.md:6). Hash-diff first so unchanged rows pass through
+    untouched — at scale that means only changed partitions rewrite."""
+    t = target.withColumn("_h", _row_hash(attrs))
+    s = staged.withColumn("_h", _row_hash(attrs))
+    changed_or_new = s.join(
+        t.select(*keys, F.col("_h").alias("_th")),
+        on=list(keys),
+        how="left",
+    ).filter((F.col("_th").isNull()) | (F.col("_th") != F.col("_h")))
+    untouched = t.join(changed_or_new.select(*keys), on=list(keys), how="left_anti")
+    return untouched.drop("_h").unionByName(
+        changed_or_new.drop("_h", "_th")
+    )
+
+
+def scd2_apply(
+    target: DataFrame,
+    staged: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    batch_ts: str,
+) -> DataFrame:
+    """SCD Type 2 (reference README.md:6): close changed current rows at
+    `batch_ts`, insert new versions open-ended, insert net-new keys.
+
+    target schema: keys + attrs + effective_from/effective_to/is_current.
+    Three-way union: history ∪ unchanged-current ∪ (closed + new versions)
+    ∪ net-new. The only shuffle is the key join; staged is broadcast when
+    small (the common nightly-batch shape)."""
+    far = F.lit(_FAR_FUTURE).cast("timestamp")
+    bts = F.lit(batch_ts).cast("timestamp")
+
+    hist = target.filter(~F.col("is_current"))
+    cur = target.filter(F.col("is_current")).withColumn("_h", _row_hash(attrs))
+    stg = staged.withColumn("_h", _row_hash(attrs))
+
+    joined = cur.alias("c").join(
+        stg.alias("s"), on=list(keys), how="full_outer"
+    )
+    changed = joined.filter(
+        F.col("c._h").isNotNull()
+        & F.col("s._h").isNotNull()
+        & (F.col("c._h") != F.col("s._h"))
+    )
+    closed = changed.select(
+        *keys,
+        *[F.col(f"c.{a}").alias(a) for a in attrs],
+        F.col("c.effective_from").alias("effective_from"),
+        bts.alias("effective_to"),
+        F.lit(False).alias("is_current"),
+    )
+    new_version = changed.select(
+        *keys,
+        *[F.col(f"s.{a}").alias(a) for a in attrs],
+        bts.alias("effective_from"),
+        far.alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    unchanged = joined.filter(
+        F.col("c._h").isNotNull()
+        & (F.col("s._h").isNull() | (F.col("c._h") == F.col("s._h")))
+    ).select(
+        *keys,
+        *[F.col(f"c.{a}").alias(a) for a in attrs],
+        F.col("c.effective_from").alias("effective_from"),
+        F.col("c.effective_to").alias("effective_to"),
+        F.col("c.is_current").alias("is_current"),
+    )
+    net_new = joined.filter(F.col("c._h").isNull()).select(
+        *keys,
+        *[F.col(f"s.{a}").alias(a) for a in attrs],
+        bts.alias("effective_from"),
+        far.alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        hist.select(*keys, *attrs, "effective_from", "effective_to", "is_current")
+        .unionByName(unchanged)
+        .unionByName(closed)
+        .unionByName(new_version)
+        .unionByName(net_new)
+    )
+
+
+def scd2_rebuild_from_log(
+    log: DataFrame, key: str, attr: str, ts_col: str, tiebreak: str
+) -> DataFrame:
+    """Rebuild full SCD2 history from a change log in one pass
+    (reference README.md:6 "historical analysis"): dedupe same-timestamp
+    events (highest tiebreak wins), drop consecutive no-op changes, then
+    derive [effective_from, effective_to) with lead(). Two window passes
+    over the same (key, ts) partitioning — one shuffle."""
+    w_tie = Window.partitionBy(key, ts_col).orderBy(F.desc(tiebreak))
+    deduped = (
+        log.withColumn("_rn", F.row_number().over(w_tie))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_seq = Window.partitionBy(key).orderBy(ts_col)
+    changes = (
+        deduped.withColumn("_prev", F.lag(attr).over(w_seq))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr)))
+        .drop("_prev")
+    )
+    w_seq2 = Window.partitionBy(key).orderBy(ts_col)
+    return changes.select(
+        F.col(key),
+        F.col(attr),
+        F.col(ts_col).alias("effective_from"),
+        F.coalesce(
+            F.lead(ts_col).over(w_seq2), F.lit(_FAR_FUTURE).cast("timestamp")
+        ).alias("effective_to"),
+        F.lead(ts_col).over(w_seq2).isNull().alias("is_current"),
+    )
+
+
+def incr_load_watermark(
+    loaded: DataFrame, arriving: DataFrame, ts_col: str, id_col: str
+) -> DataFrame:
+    """Incremental load (reference README.md:4,14): high-watermark filter +
+    anti-join replay guard + append. The watermark is a broadcast scalar
+    subquery — no driver collect, fully lazy; the anti-join shuffles only
+    the arriving batch (small) against loaded ids."""
+    wm = loaded.agg(F.max(ts_col).alias("_wm"))
+    fresh = (
+        arriving.crossJoin(F.broadcast(wm))
+        .filter(F.col(ts_col) > F.col("_wm"))
+        .drop("_wm")
+        .join(loaded.select(id_col), on=id_col, how="left_anti")
+    )
+    return loaded.unionByName(fresh)
+
+
+def dq_quarantine(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Error-handling surface (reference README.md:12): split input into
+    (valid, quarantined-with-reasons) on declared constraints. Single scan,
+    no shuffle; reasons carried as an array column for structured logging."""
+    reasons = F.array_compact(
+        F.array(
+            *[F.when(~cond, F.lit(name)) for name, cond in rules.items()]
+        )
+    )
+    tagged = df.withColumn("_dq_reasons", reasons)
+    valid = tagged.filter(F.size("_dq_reasons") == 0).drop("_dq_reasons")
+    quarantined = tagged.filter(F.size("_dq_reasons") > 0)
+    return valid, quarantined
+
+
+def dedup_exact(
+    df: DataFrame, content_hash: Column, tiebreak: Sequence[str]
+) -> DataFrame:
+    """Exact dedup by normalized content hash, deterministic survivor
+    (lowest tiebreak). row_number, not dropDuplicates — the latter makes no
+    promise about which duplicate survives. One shuffle on the hash."""
+    w = Window.partitionBy(content_hash).orderBy(*[F.asc(c) for c in tiebreak])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry queries over fixture-derived (target, staged) pairs (FIXTURES.md)
+# ---------------------------------------------------------------------------
+
+
+def _target_staged(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    target = c.filter(F.col("c_custkey") % 2 == 0)
+    staged = c.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    return target, staged
+
+
+_SQL_TGT = "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0"
+_SQL_STG = (
+    "SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal "
+    "FROM customer WHERE c_custkey % 3 = 0"
+)
+
+
+@query(
+    "merge_upsert",
+    oracle=f"""
+WITH tgt AS ({_SQL_TGT}), stg AS ({_SQL_STG}),
+unioned AS (
+  SELECT c_custkey, c_name, c_acctbal, 0 AS src FROM tgt
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, 1 AS src FROM stg
+)
+SELECT c_custkey, c_name, c_acctbal
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY src DESC) AS rn
+      FROM unioned)
+WHERE rn = 1
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, staged = _target_staged(spark, sf_dir)
+    return merge_upsert(target, staged, ["c_custkey"])
+
+
+@query(
+    "scd1_apply",
+    oracle=f"""
+WITH tgt AS ({_SQL_TGT}), stg AS ({_SQL_STG})
+SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+       COALESCE(s.c_name, t.c_name) AS c_name,
+       COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal
+FROM tgt t FULL OUTER JOIN stg s ON t.c_custkey = s.c_custkey
+""",
+)
+def q_scd1_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, staged = _target_staged(spark, sf_dir)
+    return scd1_apply(target, staged, ["c_custkey"], ["c_name", "c_acctbal"])
+
+
+@query(
+    "scd2_apply",
+    oracle=f"""
+WITH cur AS (SELECT c_custkey, c_name, c_acctbal,
+                    TIMESTAMP '2025-01-01' AS effective_from,
+                    TIMESTAMP '2200-01-01' AS effective_to,
+                    TRUE AS is_current
+             FROM customer WHERE c_custkey % 2 = 0),
+stg AS ({_SQL_STG}),
+changed AS (SELECT c.c_custkey FROM cur c JOIN stg s ON c.c_custkey = s.c_custkey
+            WHERE c.c_acctbal IS DISTINCT FROM s.c_acctbal
+               OR c.c_name IS DISTINCT FROM s.c_name)
+SELECT c_custkey, c_name, c_acctbal, effective_from, effective_to, is_current
+FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c.c_custkey, c.c_name, c.c_acctbal, c.effective_from,
+       TIMESTAMP '2026-01-01', FALSE
+FROM cur c WHERE c.c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT s.c_custkey, s.c_name, s.c_acctbal,
+       TIMESTAMP '2026-01-01', TIMESTAMP '2200-01-01', TRUE
+FROM stg s WHERE s.c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT s.c_custkey, s.c_name, s.c_acctbal,
+       TIMESTAMP '2026-01-01', TIMESTAMP '2200-01-01', TRUE
+FROM stg s WHERE s.c_custkey NOT IN (SELECT c_custkey FROM cur)
+""",
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship correctness test for the SCD2 kernel (SURVEY.md §7 Phase 3)."""
+    target, staged = _target_staged(spark, sf_dir)
+    target = (
+        target.withColumn("effective_from", F.lit("2025-01-01").cast("timestamp"))
+        .withColumn("effective_to", F.lit(_FAR_FUTURE).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    return scd2_apply(
+        target,
+        staged,
+        keys=["c_custkey"],
+        attrs=["c_name", "c_acctbal"],
+        batch_ts="2026-01-01",
+    )
+
+
+@query(
+    "scd2_rebuild_from_log",
+    oracle="""
+WITH dedup AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderstatus, o_orderdate,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders) WHERE rn = 1
+),
+changes AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderstatus, o_orderdate,
+           LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate) AS prev
+    FROM dedup)
+  WHERE prev IS NULL OR prev <> o_orderstatus
+)
+SELECT o_custkey, o_orderstatus,
+       o_orderdate AS effective_from,
+       COALESCE(LEAD(o_orderdate) OVER w, TIMESTAMP '2200-01-01') AS effective_to,
+       LEAD(o_orderdate) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+""",
+)
+def q_scd2_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treats each customer's order stream as a status-change log and
+    rebuilds the full effective-dated history in one pass."""
+    log = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    return scd2_rebuild_from_log(
+        log, key="o_custkey", attr="o_orderstatus",
+        ts_col="o_orderdate", tiebreak="o_orderkey",
+    ).drop("o_orderkey")
+
+
+@query(
+    "incr_load_watermark",
+    oracle="""
+WITH loaded AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+wm AS (SELECT max(ts) AS w FROM loaded),
+fresh AS (
+  SELECT a.* FROM events a, wm
+  WHERE a.ts > wm.w
+    AND NOT EXISTS (SELECT 1 FROM loaded l WHERE l.event_id = a.event_id)
+)
+SELECT event_id, user_id, event_type FROM loaded
+UNION ALL
+SELECT event_id, user_id, event_type FROM fresh
+""",
+)
+def q_incr_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXTURES.md split: events before 2024-01-15 are "already loaded"; the
+    whole table replays as the arriving batch — the watermark + anti-join
+    must ingest exactly the genuinely-new rows."""
+    e = table(spark, sf_dir, "events")
+    loaded = e.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    return incr_load_watermark(loaded, e, ts_col="ts", id_col="event_id").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@query(
+    "dq_quarantine",
+    oracle="""
+WITH li AS (
+  SELECT l.*, p.p_partkey AS fk_part
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT 'quantity_range' AS rule,
+       COUNT(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50)) AS n FROM li
+UNION ALL
+SELECT 'discount_max', COUNT(*) FILTER (WHERE NOT (l_discount <= 0.08)) FROM li
+UNION ALL
+SELECT 'tax_max', COUNT(*) FILTER (WHERE NOT (l_tax <= 0.06)) FROM li
+UNION ALL
+SELECT 'fk_part_exists', COUNT(*) FILTER (WHERE fk_part IS NULL) FROM li
+UNION ALL
+SELECT 'valid', COUNT(*) FILTER (WHERE l_quantity BETWEEN 1 AND 50
+                                   AND l_discount <= 0.08 AND l_tax <= 0.06
+                                   AND fk_part IS NOT NULL) FROM li
+""",
+)
+def q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-constraint quarantine with per-rule reject metrics
+    (reference README.md:12 "error handling and logging")."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    li = li.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("fk_part"))),
+        F.col("l_partkey") == F.col("fk_part"),
+        "left",
+    )
+    rules = {
+        "quantity_range": F.col("l_quantity").between(1, 50),
+        "discount_max": F.col("l_discount") <= 0.08,
+        "tax_max": F.col("l_tax") <= 0.06,
+        "fk_part_exists": F.col("fk_part").isNotNull(),
+    }
+    valid, quarantined = dq_quarantine(li, rules)
+    per_rule = (
+        quarantined.select(F.explode("_dq_reasons").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # rules with zero violations still get a row (constant-folded union side)
+    zero_rules = (
+        spark.createDataFrame([(r,) for r in rules], "rule string")
+        .join(per_rule.select("rule"), on="rule", how="left_anti")
+        .withColumn("n", F.lit(0).cast("long"))
+    )
+    valid_row = valid.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("valid").alias("rule"), "n"
+    )
+    return per_rule.unionByName(zero_rules).unionByName(valid_row)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+WITH all_docs AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text FROM documents
+)
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text)))
+                                ORDER BY doc_id) AS rn
+      FROM all_docs)
+WHERE rn = 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-zero-cost dedup: hash-groupBy on normalized content
+    (BASELINE.json north star "dedup"). Duplicates are injected by unioning
+    the corpus with itself under shifted ids; survivors must be exactly the
+    original doc_ids."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dupes = d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    all_docs = d.unionByName(dupes)
+    content = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    return dedup_exact(all_docs, content, ["doc_id"]).select("doc_id", "lang")

@@ -1,0 +1,779 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.J; BASELINE.json north
+star): text analysis, the dedup family (exact / MinHash-LSH / SimHash /
+n-gram-Jaccard / embedding-cosine), similarity search, and multimodal
+bundling over `documents` + `embeddings`.
+
+All math that reaches the oracle is either integer-exact or a single float
+op on identical inputs; cosine similarity uses the sequential
+fold-in-double formulation that DuckDB's `list_cosine_similarity` is
+bit-identical to (verified empirically: dot/(sqrt(na)*sqrt(nb)), left fold).
+
+Scale design (100 TB):
+- Quadratic forms (pairwise jaccard/cosine) exist as *verification paths*
+  bounded to a label/bucket; the scale paths are MinHash-LSH banding,
+  SimHash banding, and LSH bucketing — all shuffle on short band keys and
+  only ever compare within buckets.
+- Shingle/token explosion is count-reduced before any join (distinct per
+  doc), and every hash is computed JVM-side (md5/conv) — no Python UDFs in
+  these hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import scaled_long, sql_money_sum
+from ..registry import query
+from ..sources.tables import table
+
+
+# ---------------------------------------------------------------------------
+# shared expression builders
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Sequential-fold cosine in double — bit-compatible with DuckDB's
+    list_cosine_similarity on DOUBLE[] inputs."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.aggregate(F.zip_with(ad, ad, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    nb = F.aggregate(F.zip_with(bd, bd, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+SQL_COSINE = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def norm(a: Column) -> Column:
+    ad = a.cast("array<double>")
+    return F.sqrt(
+        F.aggregate(F.zip_with(ad, ad, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    )
+
+
+SQL_NORM = "sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x*x)))"
+
+
+def _tokens() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def hash60(col: Column) -> Column:
+    """60-bit integer hash from md5 — portable to the oracle
+    (DuckDB: CAST('0x'||substr(md5(x),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tokenize_wordcount",
+    oracle="""
+SELECT w AS word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w
+ORDER BY n DESC, word ASC
+LIMIT 20
+""",
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+bg AS (SELECT lang,
+              unnest(list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+       FROM t)
+SELECT lang, bigram, COUNT(*) AS n
+FROM bg
+GROUP BY lang, bigram
+HAVING COUNT(*) >= 3
+""",
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts per language via higher-order functions (zip_with over
+    shifted slices) — no self-join, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       SUM(n_chars) / (1.0 * COUNT(*)) AS avg_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") / (F.lit(1.0) * F.count(F.lit(1)))).alias("avg_chars"),
+        F.sum(F.size(_tokens()).cast("long")).alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY lang, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+scored AS (
+  SELECT lang, tf.term AS term,
+         round(tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n_docs n)
+SELECT lang, term, tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF as pure DataFrame math (not MLlib — oracle parity): integer tf
+    and df aggregates first, ONE float multiply at the end (sum order can
+    never differ), round(6) to absorb ln() libm ulp differences."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("term"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it"]
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+m AS (SELECT doc_id, n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks,
+                  w -> list_contains({_STOPWORDS!r}, w))) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique
+      FROM t)
+SELECT doc_id, n_tokens, n_stop,
+       round(n_stop / (1.0 * n_tokens), 6) AS stopword_ratio,
+       round(n_unique / (1.0 * n_tokens), 6) AS unique_ratio,
+       round(n_chars / (1.0 * n_tokens), 6) AS avg_token_len,
+       (n_tokens >= 20 AND n_stop / (1.0 * n_tokens) < 0.5) AS passes_quality
+FROM m
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / stopword / vocabulary ratios) —
+    the cheap filter stage of a pretraining-data pipeline."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        F.round(F.col("n_stop") / (F.lit(1.0) * F.col("n_tokens")), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(F.col("n_unique") / (F.lit(1.0) * F.col("n_tokens")), 6).alias(
+            "unique_ratio"
+        ),
+        F.round(F.col("n_chars") / (F.lit(1.0) * F.col("n_tokens")), 6).alias(
+            "avg_token_len"
+        ),
+        (
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_stop") / (F.lit(1.0) * F.col("n_tokens")) < 0.5)
+        ).alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprinting + dedup
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per doc from term-frequency-weighted 60-bit token
+    hashes. All-integer pipeline: (doc × distinct-token) → (doc × 60 bits)
+    → fingerprint. Shuffles on (doc_id, bit) then doc_id — both bounded."""
+    tok = (
+        docs.select("doc_id", F.explode(_tokens()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h60", hash60(F.col("w")))
+    )
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"),
+        "h60",
+        "cnt",
+    ).select(
+        "doc_id",
+        "b",
+        F.expr("CASE WHEN (shiftright(h60, b) & 1) = 1 THEN cnt ELSE -cnt END").alias(
+            "contrib"
+        ),
+    )
+    bit_signs = bits.groupBy("doc_id", "b").agg(
+        F.when(F.sum("contrib") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit")
+    )
+    return bit_signs.groupBy("doc_id").agg(
+        F.sum(F.expr("shiftleft(CAST(bit AS BIGINT), b)")).alias("simhash")
+    )
+
+
+_SQL_SIMHASH = f"""
+tok AS (SELECT doc_id, w, COUNT(*) AS cnt,
+               {_sql_hash60('w')} AS h60
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs_in)
+        GROUP BY doc_id, w),
+bits AS (SELECT doc_id, b,
+                SUM(CASE WHEN (h60 >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+         FROM tok CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BITS})) AS b)
+         GROUP BY doc_id, b),
+fp AS (SELECT doc_id,
+              SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       FROM bits GROUP BY doc_id)
+"""
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+WITH docs_in AS (SELECT doc_id, text FROM documents),
+{_SQL_SIMHASH}
+SELECT d.doc_id, md5(d.text) AS content_md5, CAST(fp.simhash AS BIGINT) AS simhash
+FROM documents d JOIN fp ON d.doc_id = fp.doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash + SimHash sketch."""
+    d = table(spark, sf_dir, "documents")
+    fp = simhash_docs(d.select("doc_id", "text"))
+    return d.join(fp, "doc_id").select(
+        "doc_id", F.md5("text").alias("content_md5"), F.col("simhash").cast("long")
+    )
+
+
+_SIMHASH_BANDS = 4  # 4 bands × 15 bits for candidate blocking
+_HAMMING_MAX = 8
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH docs_in AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+),
+{_SQL_SIMHASH},
+banded AS (
+  SELECT doc_id, simhash, b AS band,
+         (simhash >> (b * 15)) & 32767 AS band_val
+  FROM fp CROSS JOIN (SELECT unnest(range(0, {_SIMHASH_BANDS})) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         a.simhash AS h1, b.simhash AS h2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT doc1, doc2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= {_HAMMING_MAX}
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: band the 60-bit fingerprint into 4×15-bit keys,
+    join only within bands (never all-pairs), verify by Hamming distance.
+    Injected exact duplicates (shifted ids) must be found at distance 0."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    fp = simhash_docs(d.unionByName(dupes))
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, band * 15) & 32767"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(h1 ^ h2)").cast("long"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc1", "doc2", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard + MinHash-LSH dedup
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (count-reduced before joins)."""
+    toks = _tokens()
+    parts = [F.slice(toks, i + 1, F.size(toks) - n + 1) for i in range(n)]
+    sh = F.zip_with(
+        F.zip_with(parts[0], parts[1], lambda x, y: F.concat_ws(" ", x, y)),
+        parts[2],
+        lambda xy, z: F.concat_ws(" ", xy, z),
+    )
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+_SQL_SHINGLES = """
+shing AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs_in))
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH docs_in AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+),
+{_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc1, doc2,
+       round(i / (1.0 * (sa.sz + sb.sz - i)), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc1 = sa.doc_id
+JOIN sizes sb ON doc2 = sb.doc_id
+WHERE i / (1.0 * (sa.sz + sb.sz - i)) >= 0.6
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard threshold join — the verification-grade dedup.
+    Quadratic in the worst case: candidates come only from shared shingles
+    (inverted-index join), which is the classic exact formulation; at 100 TB
+    use dedup_minhash_lsh and verify only its candidates this way."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .withColumn(
+            "jacc_raw",
+            F.col("i") / (F.lit(1.0) * (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))),
+        )
+    )
+    return j.filter(F.col("jacc_raw") >= 0.6).select(
+        "doc1", "doc2", F.round("jacc_raw", 6).alias("jaccard")
+    )
+
+
+_MINHASH_PERMS = 16
+_MINHASH_BANDS = 4  # 4 bands × 4 rows
+
+
+@query("dedup_minhash_lsh")  # approximate candidate generation → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup at scale: shingle → 16 deterministic min-hashes
+    → 4 bands of 4 → band-bucket join → exact-Jaccard verification of the
+    (tiny) candidate set. This is the 100 TB dedup path: cost is linear in
+    corpus size + band-bucket collisions, never all-pairs.
+
+    Determinism: permutation i hashes md5(shingle ‖ '#' ‖ i) — no RNG, same
+    result on every run/cluster. tests/test_llm_ops.py checks recall against
+    injected exact duplicates and the exact-Jaccard oracle path."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    sh = shingles(docs)
+
+    perms = sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_PERMS - 1))).alias("perm"),
+    ).withColumn("h", hash60(F.concat_ws("#", F.col("shingle"), F.col("perm"))))
+    sig = perms.groupBy("doc_id", "perm").agg(F.min("h").alias("minh"))
+    banded = (
+        sig.withColumn("band", (F.col("perm") / F.lit(_MINHASH_PERMS // _MINHASH_BANDS)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minh")))).alias("band_val"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    # exact-Jaccard verification of candidates only
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc2") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        inter.join(za, F.col("doc1") == F.col("za.doc_id"))
+        .join(zb, F.col("doc2") == F.col("zb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i") / (F.lit(1.0) * (F.col("za.sz") + F.col("zb.sz") - F.col("i"))),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round({SQL_COSINE.format(a='q.embedding', b='e.embedding')}, 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE q.vec_id <> e.vec_id)
+SELECT query_id, neighbor_id, sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline. The query set is
+    broadcast; the corpus streams — one pass, no shuffle of the big side;
+    per-partition heaps via the rank-filter. Scale path: sim_ann_lsh."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+@query(
+    "sim_pairwise_threshold",
+    oracle=f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
+       round({SQL_COSINE.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {SQL_COSINE.format(a='a.embedding', b='b.embedding')} >= 0.3
+""",
+)
+def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ τ *within a label partition* — the blocked
+    quadratic form (never global all-pairs)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.col("a.label").alias("label"),
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, label, embedding FROM embeddings
+)
+SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+       round({SQL_COSINE.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+FROM vecs a JOIN vecs b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {SQL_COSINE.format(a='a.embedding', b='b.embedding')} >= 0.99
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup removal: cosine ≥ 0.99 within label, lowest
+    id survives. Injected duplicate vectors (shifted ids) must pair with
+    their originals at sim = 1.0."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    vecs = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + F.lit(1000000)))
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= 0.99)
+        .select(
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("b.vec_id").alias("drop_id"),
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
+_ANN_PLANES = 12
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes derived from md5 — no RNG state,
+    identical on every executor and every run."""
+    import hashlib
+
+    planes = []
+    for p in range(_ANN_PLANES):
+        row = []
+        for d in range(64):
+            h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:4], 16) % 2 == 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+@query("sim_ann_lsh")  # approximate → rows-only check
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 12-bit sign bucket per vector, search
+    only within the query's bucket. The scale path for similarity search —
+    bucket key join instead of cross join; recall measured in tests against
+    sim_cosine_topk."""
+    e = table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+
+    def bucket(emb: Column) -> Column:
+        bits = []
+        for p, plane in enumerate(planes):
+            arr = F.array(*[F.lit(v) for v in plane])
+            dot = F.aggregate(
+                F.zip_with(emb.cast("array<double>"), arr, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for bcol in bits[1:]:
+            out = out + bcol
+        return out.cast("long")
+
+    with_bucket = e.withColumn("bucket", bucket(F.col("embedding")))
+    q = with_bucket.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        with_bucket.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
+
+
+@query(
+    "emb_norm_stats",
+    oracle=f"""
+WITH n AS (SELECT vec_id, label, {SQL_NORM.format(a='embedding')} AS nrm
+           FROM embeddings)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       {sql_money_sum("nrm", 1000000)} / COUNT(*) AS avg_norm,
+       min(nrm) AS min_norm,
+       max(nrm) AS max_norm
+FROM n
+GROUP BY label
+""",
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", norm(F.col("embedding")).alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        ((F.sum(scaled_long(F.col("nrm"), 1000000)) / F.lit(1000000.0)) / F.count(F.lit(1))).alias(
+            "avg_norm"
+        ),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
+@query(
+    "multimodal_bundle",
+    oracle=f"""
+SELECT d.doc_id, d.lang, d.n_chars,
+       CAST(len(e.embedding) AS BIGINT) AS emb_dim,
+       round({SQL_NORM.format(a='e.embedding')}, 6) AS emb_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack text + metadata + embedding into one struct column and unbundle —
+    the typed multimodal-row shape (text/image/audio payloads ride the same
+    way as opaque columns with typed metadata)."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    bundled = d.join(e, F.col("doc_id") == F.col("vec_id")).select(
+        "doc_id",
+        F.struct(
+            F.col("text").alias("text"),
+            F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("n_chars")).alias(
+                "meta"
+            ),
+            F.col("embedding").alias("embedding"),
+        ).alias("bundle"),
+    )
+    return bundled.select(
+        "doc_id",
+        F.col("bundle.meta.lang").alias("lang"),
+        F.col("bundle.meta.n_chars").alias("n_chars"),
+        F.size("bundle.embedding").cast("long").alias("emb_dim"),
+        F.round(norm(F.col("bundle.embedding")), 6).alias("emb_norm"),
+    )

@@ -1,0 +1,279 @@
+"""Event-time operators over `events` (SURVEY.md §2.I).
+
+Reference parity: incremental event processing with integrity guarantees
+(reference README.md:4 incremental loads, README.md:12 error handling — here:
+dedup, late-data policy). Each operator has a *batch formulation* registered
+against the DuckDB oracle (window()/session-logic work identically in batch),
+and the same code runs under Structured Streaming — tests/test_streaming.py
+proves batch/stream parity with an availableNow trigger.
+
+Determinism notes:
+- Event-time arithmetic uses integer microseconds (unix_micros/epoch_us) —
+  seconds-granularity casts would silently truncate the fixtures' µs stamps.
+- Sliding windows: Spark emits one row per covered window (4 for a 1-day/6-h
+  slide); the oracle reconstructs the same set with an explicit 4-offset
+  cross join on epoch-aligned starts.
+
+Scale: tumbling/sliding aggs shuffle once on (window, key) with map-side
+partials; session windows + dedup keep per-key state bounded by the
+watermark horizon — that bound IS the 100 TB design (state never grows past
+horizon × arrival rate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import scaled_long, sql_money_sum
+from ..registry import query
+from ..sources.tables import table
+
+GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, in microseconds
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       COUNT(*) AS n_events,
+       {sql_money_sum("value")} AS total_value
+FROM events
+GROUP BY event_type, window_start
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(scaled_long(F.col("value"), 100)) / F.lit(100.0)).alias("total_value"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+WITH s AS (SELECT event_type, value,
+                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+           FROM events),
+w AS (SELECT event_type, value,
+             make_timestamp((((es // 21600) - t.k) * 21600) * 1000000) AS window_start
+      FROM s CROSS JOIN (VALUES (0), (1), (2), (3)) t(k))
+SELECT event_type, window_start,
+       COUNT(*) AS n_events,
+       {sql_money_sum("value")} AS total_value
+FROM w
+GROUP BY event_type, window_start
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day window sliding every 6 h: each event lands in 4 windows, all
+    epoch-aligned to the slide (UTC session tz = same alignment as oracle)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(scaled_long(F.col("value"), 100)) / F.lit(100.0)).alias("total_value"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, ts, value, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, value, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us > {GAP_US} THEN 1 ELSE 0 END AS is_new
+  FROM t),
+sessions AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM flagged)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       {sql_money_sum("value")} AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-island sessionization (30-min gap): the batch-exact
+    formulation. The streaming equivalent is `F.session_window` — parity
+    (incl. the gap boundary rule) is pinned in tests/test_streaming.py."""
+    e = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("us").over(w_seq)
+    flagged = e.withColumn(
+        "is_new",
+        F.when(prev.isNull() | (F.col("us") - prev > GAP_US), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(w_cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(scaled_long(F.col("value"), 100)) / F.lit(100.0)).alias("session_value"),
+    )
+
+
+@query(
+    "stream_watermark_dedup",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_unique
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-dedup: the batch formulation doubles the input and dedups on
+    event_id — surviving counts must equal the original stream. Streaming
+    variant: withWatermark("ts","1 hour").dropDuplicates(["event_id"]) with
+    state bounded by the watermark (tests/test_streaming.py)."""
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    doubled = e.unionByName(e)  # duplicate rows are bit-identical → any survivor ok
+    return doubled.dropDuplicates(["event_id"]).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique")
+    )
+
+
+@query(
+    "stream_late_data",
+    oracle="""
+WITH wm AS (SELECT max(ts) - INTERVAL 24 HOUR AS w FROM events)
+SELECT (ts < wm.w) AS is_late,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events, wm
+GROUP BY is_late
+""",
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival policy (reference README.md:12): rows older than the
+    watermark horizon are routed to a late-sink, not silently dropped. Batch
+    formulation classifies against max(ts) − horizon via a broadcast scalar."""
+    e = table(spark, sf_dir, "events")
+    wm = e.agg((F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("w"))
+    return (
+        e.crossJoin(F.broadcast(wm))
+        .groupBy((F.col("ts") < F.col("w")).alias("is_late"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "stream_join_static",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       {sql_money_sum("value")} AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: in streaming the static dim broadcasts to
+    every micro-batch — identical DataFrame code in both modes."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(scaled_long(F.col("value"), 100)) / F.lit(100.0)).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "stream_stateful_running",
+    oracle="""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS running_n,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w / 100.0 AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running aggregates — the batch mirror of a stateful
+    streaming groupBy in update mode."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        (F.sum(scaled_long(F.col("value"), 100)).over(w) / F.lit(100.0)).alias(
+            "running_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming runners (used by the parity smoke tests)
+# ---------------------------------------------------------------------------
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the same parquet the batch path reads.
+    Schema comes from a batch read (file streams require one); the ns→µs
+    conversion mirrors sources/tables.py. The file source wants a directory,
+    so the fixture file is symlinked into a scratch dir (read-only fixtures)."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="t20_stream_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    df = spark.readStream.schema(schema).parquet(stream_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def run_available_now(df: DataFrame, query_name: str, output_mode: str = "complete"):
+    """Drain a bounded stream into a memory sink and return the result DF."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return df.sparkSession.sql(f"SELECT * FROM {query_name}")

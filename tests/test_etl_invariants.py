@@ -1,0 +1,102 @@
+"""ETL-composite invariant tests (SURVEY.md §5.2.4): properties the oracle
+comparison can't express — SCD2 timeline tiling, incremental idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from t20_database_etl_pipeline_assignment_spark.operators.etl import (
+    incr_load_watermark,
+    merge_upsert,
+    scd2_apply,
+)
+
+
+def _mk_dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, attr string, effective_from timestamp, effective_to timestamp, is_current boolean"
+    )
+
+
+def _mk_staged(spark, rows):
+    return spark.createDataFrame(rows, "k long, attr string")
+
+
+import datetime as _dt
+
+
+def _ts(s):
+    return _dt.datetime.fromisoformat(s)
+
+
+def test_scd2_invariants(spark):
+    target = _mk_dim(
+        spark,
+        [
+            (1, "a", _ts("2020-01-01"), _ts("2021-01-01"), False),
+            (1, "b", _ts("2021-01-01"), _ts("2200-01-01"), True),
+            (2, "x", _ts("2020-01-01"), _ts("2200-01-01"), True),
+        ],
+    )
+    staged = _mk_staged(spark, [(1, "c"), (2, "x"), (3, "new")])
+    out = scd2_apply(target, staged, ["k"], ["attr"], "2022-06-01")
+    rows = {(r.k, r.attr): r for r in out.collect()}
+
+    # changed key 1: old current closed at batch_ts, new version open
+    assert rows[(1, "b")].effective_to == _ts("2022-06-01")
+    assert rows[(1, "b")].is_current is False
+    assert rows[(1, "c")].effective_from == _ts("2022-06-01")
+    assert rows[(1, "c")].is_current is True
+    # unchanged key 2 passes through untouched
+    assert rows[(2, "x")].is_current is True
+    assert rows[(2, "x")].effective_from == _ts("2020-01-01")
+    # net-new key 3 inserted open-ended
+    assert rows[(3, "new")].is_current is True
+
+    # invariants: exactly one current row per key; ranges tile without overlap
+    per_key = (
+        out.groupBy("k")
+        .agg(
+            F.sum(F.col("is_current").cast("int")).alias("n_cur"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in per_key:
+        assert r.n_cur == 1, f"key {r.k}: {r.n_cur} current rows"
+    hist = out.filter("k = 1").orderBy("effective_from").collect()
+    for a, b in zip(hist, hist[1:]):
+        assert a.effective_to == b.effective_from, "timeline must tile"
+
+
+def test_scd2_idempotent_reapply(spark):
+    target = _mk_dim(spark, [(1, "a", _ts("2020-01-01"), _ts("2200-01-01"), True)])
+    staged = _mk_staged(spark, [(1, "b")])
+    once = scd2_apply(target, staged, ["k"], ["attr"], "2021-01-01")
+    twice = scd2_apply(once, staged, ["k"], ["attr"], "2022-01-01")
+    # re-applying the same staged batch must be a no-op (hash equal)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_upsert_staged_wins(spark):
+    t = spark.createDataFrame([(1, "old"), (2, "keep")], "k long, v string")
+    s = spark.createDataFrame([(1, "new"), (3, "ins")], "k long, v string")
+    out = {r.k: r.v for r in merge_upsert(t, s, ["k"]).collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_incremental_load_idempotent(spark):
+    import datetime as dt
+
+    loaded = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)) for i in range(10)],
+        "event_id long, ts timestamp",
+    )
+    arriving = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)) for i in range(15)],
+        "event_id long, ts timestamp",
+    )
+    once = incr_load_watermark(loaded, arriving, "ts", "event_id")
+    assert once.count() == 15
+    again = incr_load_watermark(once, arriving, "ts", "event_id")
+    assert again.count() == 15  # replaying the same batch is a no-op

@@ -1,0 +1,82 @@
+"""Batch/stream parity (SURVEY.md §5.2.5): the same event-time logic run as
+a bounded Structured Streaming job (availableNow) must match the batch
+formulation the oracle checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from t20_database_etl_pipeline_assignment_spark.exprs import scaled_long
+from t20_database_etl_pipeline_assignment_spark.registry import QUERIES
+from t20_database_etl_pipeline_assignment_spark.streaming.windows import (
+    read_events_stream,
+    run_available_now,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_streaming_tumbling_parity(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(scaled_long(F.col("value"), 100)) / F.lit(100.0)).alias("total_value"),
+        )
+        .select("event_type", F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+    got = run_available_now(agg, "t20_stream_tumbling")
+    want = QUERIES["stream_tumbling"](spark, sf_dir)
+    cols = ["event_type", "window_start", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_watermark_dedup(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    got = run_available_now(deduped, "t20_stream_dedup", output_mode="complete")
+    want = QUERIES["stream_watermark_dedup"](spark, sf_dir)
+    cols = ["event_type", "n_unique"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_window_vs_gap_island(spark):
+    """Pin the gap-boundary rule: Spark's session_window merges events at
+    distance == gap into ONE session (window end is exclusive at
+    last_ts + gap, and a new event exactly at the end extends it)... or does
+    it? This test documents the actual semantics our gap-island batch
+    formulation (strictly-greater ⇒ same session at exactly the gap) must
+    mirror."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=30)),          # exactly the gap
+        (1, base + dt.timedelta(minutes=90)),          # > gap → new session
+        (2, base),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sw = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "n")
+    )
+    got = sorted(tuple(r) for r in sw.collect())
+    # gap-island with strictly-greater: (1, [0m, 30m]) one session of 2,
+    # (1, [90m]) one of 1, (2,…) one of 1
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+@pytest.mark.parametrize("qid", ["stream_session", "stream_sliding"])
+def test_batch_streaming_queries_run(spark, sf_dir, qid):
+    assert QUERIES[qid](spark, sf_dir).count() > 0
