@@ -18,6 +18,7 @@ from .streaming import windows as stream_windows  # noqa: F401
 from .operators import (  # noqa: F401
     aggregates,
     etl,
+    io_ops,
     llm,
     multimodal,
     relational,

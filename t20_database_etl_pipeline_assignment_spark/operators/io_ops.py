@@ -1,0 +1,199 @@
+"""Sources and sinks: scans with declared schemas, partitioned/JDBC/full-load
+sinks.
+
+Reference parity: SURVEY.md §2.A, from the reference's declared ingestion and
+load surface (reference README.md:10 "extract raw data from multiple sources …
+load it into SQL Server", README.md:4,14 "Incremental Load, Full Load",
+README.md:8,14 "Data Partitioning"). The reference's serving store is SQL
+Server; no SQL Server exists here, so the JDBC sink targets the embedded Derby
+database that ships with Spark — the same public `format("jdbc")` code path a
+SQL Server URL would use (only url/driver options differ).
+
+Round-trip strategy: the driver's fixtures are Parquet-only, so the CSV/JSON
+scans and all sinks are exercised by *round-tripping* a fixture table through
+the format into a temp directory and returning the read-back result; the
+DuckDB oracle reads the original Parquet. A value-hash match therefore proves
+the write+read cycle is lossless.
+
+Scale notes (100 TB):
+- Scans declare explicit schemas (no inference pass over petabytes) and stay
+  on Spark's vectorized readers; filters/projections push down.
+- The partitioned sink is the layout primitive that makes partition pruning
+  possible downstream; at scale you'd add bucketing on the join key.
+- `full_load` is a single `mode("overwrite")` write — atomic-per-table via
+  the output committer; `incr_load_watermark` (operators/etl.py) is the
+  incremental counterpart.
+- JDBC writes at scale are bounded by the RDBMS, not Spark: control
+  parallelism with `numPartitions` + `batchsize` so the target isn't
+  overwhelmed by 1000 executors writing at once.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..exprs import money_sum, sql_money_sum
+from ..registry import query
+from ..sources.tables import table
+
+
+def _tmp(sf_dir: str, name: str) -> str:
+    """Deterministic scratch path per (sf, op); safe to overwrite."""
+    token = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(tempfile.gettempdir(), f"t20_io_{token}_{name}")
+
+
+# ---------------------------------------------------------------------------
+# Scans with declared schemas
+# ---------------------------------------------------------------------------
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+SUPPLIER_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]
+)
+
+PART_SCHEMA = T.StructType(
+    [
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("p_name", T.StringType()),
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("p_type", T.StringType()),
+        T.StructField("p_size", T.IntegerType()),
+        T.StructField("p_retailprice", T.DoubleType()),
+    ]
+)
+
+
+@query("scan_parquet", oracle="SELECT * FROM customer")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-validated Parquet scan: the declared StructType is enforced at
+    plan time instead of inferred, so a drifted upstream file fails fast
+    (reference README.md:12 "data integrity") rather than poisoning the load.
+    """
+    return spark.read.schema(CUSTOMER_SCHEMA).parquet(f"{sf_dir}/customer.parquet")
+
+
+@query("scan_csv", oracle="SELECT * FROM supplier")
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with explicit schema + PERMISSIVE bad-record handling,
+    exercised as a lossless round-trip of the supplier table (doubles print
+    via shortest-round-trip, so read-back is bit-exact).
+    """
+    path = _tmp(sf_dir, "csv")
+    table(spark, sf_dir, "supplier").write.mode("overwrite").option("header", "true").csv(path)
+    return (
+        spark.read.schema(SUPPLIER_SCHEMA)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+@query("scan_json", oracle="SELECT * FROM part")
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with explicit schema (no inference pass), round-
+    tripping the part table."""
+    path = _tmp(sf_dir, "json")
+    table(spark, sf_dir, "part").write.mode("overwrite").json(path)
+    return spark.read.schema(PART_SCHEMA).json(path)
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_rows, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned Parquet sink (reference README.md:8,14 "Data
+    Partitioning"): write lineitem partitioned by l_returnflag, read it back,
+    and aggregate per partition — proving the layout is lossless and that a
+    partition-pruned scan sees every row exactly once.
+    """
+    path = _tmp(sf_dir, "part_sink")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("key_sum"),
+    )
+
+
+@query(
+    "full_load",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       {sql_money_sum("o_totalprice")} AS total
+FROM orders
+""",
+)
+def full_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-load strategy (reference README.md:4,14): truncate-and-reload the
+    target via `mode("overwrite")`, then audit the reloaded table against the
+    source with count/min/max/exact-sum — the standard post-load reconciliation
+    check (README.md:12 "data integrity and consistency").
+    """
+    path = _tmp(sf_dir, "full_load")
+    table(spark, sf_dir, "orders").write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        money_sum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query("sink_jdbc", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDBMS load via Spark's public JDBC source/sink (reference
+    README.md:2,10,14 "load it into SQL Server"). Targets embedded Derby (the
+    JDBC engine bundled with Spark) — swapping in SQL Server is only a url /
+    driver / numPartitions change. Write mode("overwrite") models the
+    truncate-and-reload path; read-back through the same JDBC source proves
+    the round trip is lossless.
+    """
+    db = _tmp(sf_dir, "derby")
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    opts = {"url": url, "driver": driver, "dbtable": "NATION_SINK"}
+    nat = table(spark, sf_dir, "nation")
+    nat.write.format("jdbc").options(**opts).mode("overwrite").save()
+    back = spark.read.format("jdbc").options(**opts).load()
+    # Derby stores Spark StringType as CLOB; normalize names/types to the dim.
+    return back.select(
+        F.col("N_NATIONKEY").cast("int").alias("n_nationkey"),
+        F.col("N_NAME").cast("string").alias("n_name"),
+        F.col("N_REGIONKEY").cast("int").alias("n_regionkey"),
+    )

@@ -253,6 +253,118 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Language-ID marker profiles: high-frequency function words per language
+# (public-knowledge stopword lists). Checked in sorted-language order for a
+# deterministic arg-max tiebreak on BOTH engines.
+_LANG_MARKERS = {
+    "de": ["der", "die", "und", "das", "ein", "nicht"],
+    "en": ["the", "a", "and", "of", "is", "it"],
+    "es": ["el", "los", "las", "y", "que", "una"],
+    "fr": ["le", "la", "les", "et", "des", "une"],
+}
+
+
+def _langid_oracle() -> str:
+    score_cols = ",\n             ".join(
+        f"CAST(len(list_filter(toks, w -> list_contains({words!r}, w))) AS BIGINT)"
+        f" AS s_{lang}"
+        for lang, words in sorted(_LANG_MARKERS.items())
+    )
+    langs = sorted(_LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    whens = " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in langs)
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+             {score_cols}
+      FROM t),
+p AS (SELECT doc_id, lang, {greatest} AS m,
+             CASE WHEN {greatest} = 0 THEN 'und' {whens} END AS pred_lang
+      FROM s)
+SELECT pred_lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_label_match
+FROM p
+GROUP BY pred_lang
+"""
+
+
+@query("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via function-word marker profiles — the
+    n-gram-heuristic lang-ID stage of a pretraining pipeline (north star,
+    BASELINE.json:6 "text analysis"). Pure JVM-side higher-order functions
+    (no UDF): one pass over tokens per profile, deterministic alphabetical
+    tiebreak, 'und' when no profile fires. At 100 TB this is an embarrassingly
+    parallel map — no shuffle until the final tiny groupBy.
+
+    The fixture text is synthetic, so the interesting guarantee is
+    machinery-level: both engines score, arg-max, and tie-break identically
+    (n_label_match audits prediction-vs-label agreement).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def marker_score(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(x) for x in words])
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w))).cast("long")
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            marker_score(words).alias(f"s_{lang}")
+            for lang, words in sorted(_LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(_LANG_MARKERS)
+    m = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = F.when(m == 0, "und")
+    for lg in langs:
+        pred = pred.when(F.col(f"s_{lg}") == m, lg)
+    return (
+        scored.withColumn("pred_lang", pred)
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_label_match"),
+        )
+    )
+
+
+_BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+SELECT source,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_TOKEN_RE}'))) AS BIGINT)
+         AS bpe_tokens,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens plus a BPE-ish
+    regex tokenization (letter runs / single digits / punctuation — the
+    GPT-2-style pre-tokenizer shape). Token counts are the budgeting currency
+    of LLM dataset curation; at 100 TB this is a map + tiny agg, no UDFs.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(_tokens())).cast("long").alias("ws_tokens"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN_RE), F.lit(0))))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprinting + dedup
 # ---------------------------------------------------------------------------
