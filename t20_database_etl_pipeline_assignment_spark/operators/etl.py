@@ -436,22 +436,25 @@ def q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tax_max": F.col("l_tax") <= 0.06,
         "fk_part_exists": F.col("fk_part").isNotNull(),
     }
-    valid, quarantined = dq_quarantine(li, rules)
-    per_rule = (
-        quarantined.select(F.explode("_dq_reasons").alias("rule"))
+    # ONE scan: each row emits its violated-rule labels, or 'valid' when
+    # clean; a broadcast outer join against the static rule list zero-fills
+    # rules nothing violated. (Previously: two scans — quarantine counts +
+    # valid count — for the same answer.)
+    reasons = F.array_compact(
+        F.array(*[F.when(~cond, F.lit(name)) for name, cond in rules.items()])
+    )
+    labels = F.when(F.size(reasons) == 0, F.array(F.lit("valid"))).otherwise(reasons)
+    counts = (
+        li.select(F.explode(labels).alias("rule"))
         .groupBy("rule")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # rules with zero violations still get a row (constant-folded union side)
-    zero_rules = (
-        spark.createDataFrame([(r,) for r in rules], "rule string")
-        .join(per_rule.select("rule"), on="rule", how="left_anti")
-        .withColumn("n", F.lit(0).cast("long"))
+    all_rules = spark.createDataFrame(
+        [(r,) for r in [*rules, "valid"]], "rule string"
     )
-    valid_row = valid.agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("valid").alias("rule"), "n"
+    return all_rules.join(counts, on="rule", how="left").select(
+        "rule", F.coalesce("n", F.lit(0).cast("long")).alias("n")
     )
-    return per_rule.unionByName(zero_rules).unionByName(valid_row)
 
 
 @query(
