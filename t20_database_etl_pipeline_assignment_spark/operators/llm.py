@@ -875,6 +875,88 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).drop("rn")
 
 
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+@query("sim_ann_ivf")  # approximate → rows-only check
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via an IVF (inverted-file) coarse quantizer — the second scale
+    path for similarity search alongside sim_ann_lsh.
+
+    Train: 16 deterministic seed vectors (lowest vec_ids) → assign every
+    vector to its nearest seed by cosine → one k-means (Lloyd) refinement
+    producing per-cell mean centroids → final assignment to refined
+    centroids. All DataFrame ops: assignment is a broadcast join of the tiny
+    centroid table against the corpus; centroid means via posexplode/avg —
+    a single shuffle keyed on (cell, dim position).
+
+    Search: each query probes its nprobe=4 nearest cells and brute-forces
+    only within them — cost ~nprobe/cells of the corpus per query instead of
+    a full scan. Recall@k vs the exact sim_cosine_topk baseline is measured
+    in tests/test_llm_ops.py.
+
+    At 100 TB: centroid count grows to ~sqrt(N), training samples the corpus,
+    and the per-cell search stays a broadcast-probe + cell-key join — no
+    all-pairs anywhere.
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def nearest_cells(vecs: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+        """Top-n cells per vector by cosine against broadcast centroids."""
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cell",
+            cosine(F.col("embedding"), F.col("centroid")).alias("csim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
+        return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
+
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(_IVF_CELLS)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid"))
+    )
+    assign0 = nearest_cells(e, seeds, 1).select("vec_id", "cell")
+    # Lloyd refinement: per-cell mean vector, rebuilt as an ordered array.
+    refined = (
+        e.join(assign0, "vec_id")
+        .select("cell", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+    assignment = nearest_cells(e, refined, 1).select("vec_id", "cell")
+    indexed = e.join(assignment, "vec_id")
+
+    queries = e.filter(F.col("vec_id") < 10)
+    probes = nearest_cells(queries, refined, _IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    q_emb = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        indexed.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q_emb), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    # no distinct needed: each neighbor lives in exactly one cell, so a
+    # (query, neighbor) pair can only arise once.
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
 @query(
     "emb_norm_stats",
     oracle=f"""

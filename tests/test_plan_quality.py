@@ -1,0 +1,63 @@
+"""Physical-plan regression tests (100 TB design gate, SURVEY.md §4).
+
+Correctness tests prove the small-SF answer; these prove the *plan shape*
+that must survive a 1000-executor scale-up: dimension joins broadcast (never
+sort-merge), predicates and projections reach the Parquet scan, global top-k
+uses TakeOrderedAndProject (per-partition heaps, no global sort), and
+aggregations are partial (map-side combine) with a single shuffle.
+"""
+
+from __future__ import annotations
+
+from t20_database_etl_pipeline_assignment_spark.registry import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    """formatted = tree + per-node detail (each node named twice);
+    simple = tree only (one mention per node — use for counting)."""
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(QUERIES["join_multiway_star"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_star_join_pushes_shipdate_filter(spark, sf_dir):
+    plan = plan_of(QUERIES["join_multiway_star"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+
+
+def test_star_join_prunes_lineitem_columns(spark, sf_dir):
+    plan = plan_of(QUERIES["join_multiway_star"](spark, sf_dir))
+    # the fact-table scan must read only the join key + measures + filter col
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in plan
+    ), plan
+
+
+def test_filter_pred_pushes_down(spark, sf_dir):
+    plan = plan_of(QUERIES["filter_pred"](spark, sf_dir))
+    assert "GreaterThanOrEqual(o_totalprice,50000.0)" in plan, plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["topk_global"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_agg_is_partial_with_single_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_hash_group"](spark, sf_dir), mode="simple")
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_broadcast_hint_respected(spark, sf_dir):
+    plan = plan_of(QUERIES["join_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan

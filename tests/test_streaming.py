@@ -80,3 +80,29 @@ def test_session_window_vs_gap_island(spark):
 @pytest.mark.parametrize("qid", ["stream_session", "stream_sliding"])
 def test_batch_streaming_queries_run(spark, sf_dir, qid):
     assert QUERIES[qid](spark, sf_dir).count() > 0
+
+
+def test_stateful_user_totals_parity(spark, sf_dir):
+    """Custom applyInPandasWithState operator must reproduce the exact
+    batch aggregation (one availableNow batch ⇒ final state per user)."""
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+    from t20_database_etl_pipeline_assignment_spark.streaming.windows import (
+        stateful_user_totals,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_available_now(
+        stateful_user_totals(stream), "t20_stateful_totals", output_mode="update"
+    )
+    want = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(scaled_long(F.col("value"), 100)) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
