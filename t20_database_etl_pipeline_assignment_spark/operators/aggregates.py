@@ -254,3 +254,34 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"))
     )
+
+
+@query(
+    "agg_median_percentile",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT), 0.25) / 100.0 AS q1,
+       quantile_cont(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT), 0.50) / 100.0 AS med,
+       quantile_cont(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT), 0.75) / 100.0 AS q3
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (q1/median/q3) per group.
+
+    Cross-engine determinism: percentiles run over the scaled-integer
+    representation — interpolation at dyadic fractions (.25/.5/.75) between
+    integers is exact in IEEE double regardless of which a+(b-a)*f formula
+    an engine uses, so Spark and DuckDB agree bitwise; the final /100 is one
+    identical float op. At 100 TB exact percentiles require a full sort per
+    group — the scale path swaps in approx_percentile (t-digest sketch,
+    single pass, mergeable) with the same call shape.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    scaled = scaled_long(F.col("l_quantity"), 100)
+    return li.groupBy("l_returnflag").agg(
+        (F.percentile(scaled, F.lit(0.25)) / 100.0).alias("q1"),
+        (F.percentile(scaled, F.lit(0.50)) / 100.0).alias("med"),
+        (F.percentile(scaled, F.lit(0.75)) / 100.0).alias("q3"),
+    )

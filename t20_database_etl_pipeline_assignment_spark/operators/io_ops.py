@@ -175,6 +175,59 @@ def full_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_bucketed_colocated",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       {sql_money_sum("l_extendedprice")} AS total_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketing — THE layout move for
+    repeated big-table joins at 100 TB. Both sides are written bucketed into
+    16 buckets on the join key; Spark's bucketed scan then satisfies the
+    join's distribution requirement directly, so the sort-merge join runs
+    with ZERO Exchange on either side (pinned by
+    tests/test_plan_quality.py::test_bucketed_join_has_no_exchange).
+    One-time write cost, amortized across every subsequent join/agg on the
+    key. `sortBy` within buckets also drops the per-task sort at read time.
+    """
+    import shutil
+
+    token = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    o_tbl, l_tbl = f"orders_b_{token}", f"lineitem_b_{token}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in (o_tbl, l_tbl):
+        # the in-memory catalog is per-session: a previous session's table
+        # files survive at the location without a catalog entry, so clear both
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    table(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(
+        16, "o_orderkey"
+    ).sortBy("o_orderkey").format("parquet").saveAsTable(o_tbl)
+    table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).write.mode("overwrite").bucketBy(16, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).format("parquet").saveAsTable(l_tbl)
+    o = spark.table(o_tbl)
+    li = spark.table(l_tbl)
+    # merge hint: model the 100 TB case where NEITHER side broadcasts — the
+    # whole point of bucketing. (At toy SF Spark would otherwise broadcast
+    # the small side and never show the shuffle-free SMJ this layout buys.)
+    return (
+        o.hint("merge").join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_sum(F.col("l_extendedprice")).alias("total_price"),
+        )
+    )
+
+
 @query("sink_jdbc", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
 def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDBMS load via Spark's public JDBC source/sink (reference

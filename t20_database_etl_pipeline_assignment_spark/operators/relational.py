@@ -460,3 +460,53 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(F.col("c_custkey") % 2 == 0).subtract(
         c.filter(F.col("c_custkey") % 3 == 0)
     )
+
+
+_SALT_BUCKETS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+SELECT n_name,
+       COUNT(*) AS n_orders,
+       {sql_money_sum("o_totalprice")} AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via explicit key salting — the manual counterpart
+    to AQE's skew-join split, for when a single hot key (a celebrity user, a
+    default/null-like key) overwhelms one reducer at 100 TB.
+
+    Mechanics: the large (probe) side gets a deterministic per-row salt in
+    [0, 8); the small/hot (build) side is replicated once per salt value
+    (explode of an 8-element range — 8× a dim, not 8× the fact table). The
+    join key becomes (key, salt), spreading each hot key over 8 reducers.
+    Results are identical to the unsalted join — the oracle checks exactly
+    that. Salt is xxhash64-derived from the row's own keys: deterministic,
+    no RNG, stable under retries/speculative execution.
+    """
+    o = table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(_SALT_BUCKETS)).cast("int")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1)))
+        )
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(c, on=[o["o_custkey"] == c["c_custkey"], o["salt"] == c["salt"]])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total"),
+        )
+    )

@@ -42,5 +42,8 @@ def get_spark(app_name: str = "t20-etl-spark") -> SparkSession:
         # reader rejects; read as long nanos and convert in the scan layer
         # (sources/tables.py) — same ns→µs truncation DuckDB applies.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Bucketed-table warehouse (join_bucketed_colocated) lives in scratch
+        # space, not the repo.
+        .config("spark.sql.warehouse.dir", "/tmp/t20_warehouse")
     )
     return builder.getOrCreate()

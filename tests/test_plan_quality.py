@@ -61,3 +61,22 @@ def test_agg_is_partial_with_single_exchange(spark, sf_dir):
 def test_broadcast_hint_respected(spark, sf_dir):
     plan = plan_of(QUERIES["join_broadcast"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Bucketing both sides on the join key must eliminate the shuffle: the
+    fact⋈fact join reads bucketed scans directly, no Exchange below the
+    join (the only allowed Exchange is the final tiny groupBy)."""
+    df = QUERIES["join_bucketed_colocated"](spark, sf_dir)
+    plan = plan_of(df, mode="simple")
+    assert "SortMergeJoin" in plan, plan
+    assert "SelectedBucketsCount" in plan_of(df), plan_of(df)
+    assert plan.count("Exchange") == 1, plan  # the post-join aggregation only
+
+
+def test_salted_join_spreads_keys(spark, sf_dir):
+    """The salted join must shuffle on (key, salt) — visible as the salt
+    column in the join keys — and still broadcast the tiny nation dim."""
+    plan = plan_of(QUERIES["join_skew_salted"](spark, sf_dir))
+    assert "salt" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
