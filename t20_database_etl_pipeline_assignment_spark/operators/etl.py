@@ -186,6 +186,16 @@ def scd2_rebuild_from_log(
     )
 
 
+def scd2_init(snapshot: DataFrame, batch_ts: str) -> DataFrame:
+    """Bootstrap an SCD2 dimension from a first snapshot: every row current,
+    open-ended, effective from `batch_ts` (parameterized — deterministic)."""
+    return (
+        snapshot.withColumn("effective_from", F.lit(batch_ts).cast("timestamp"))
+        .withColumn("effective_to", F.lit(_FAR_FUTURE).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+
+
 def incr_load_watermark(
     loaded: DataFrame, arriving: DataFrame, ts_col: str, id_col: str
 ) -> DataFrame:

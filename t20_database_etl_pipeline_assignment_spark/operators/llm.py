@@ -375,32 +375,31 @@ _SIMHASH_BITS = 60
 
 def simhash_docs(docs: DataFrame) -> DataFrame:
     """60-bit SimHash per doc from term-frequency-weighted 60-bit token
-    hashes. All-integer pipeline: (doc × distinct-token) → (doc × 60 bits)
-    → fingerprint. Shuffles on (doc_id, bit) then doc_id — both bounded."""
+    hashes. All-integer pipeline, ONE shuffle: the 60 bit-votes are 60
+    codegen'd conditional-sum aggregate columns over the (doc × distinct-
+    token) rows — no 60× row explosion, no second shuffle — then the
+    fingerprint is assembled from the votes in a single projection."""
     tok = (
         docs.select("doc_id", F.explode(_tokens()).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h60", hash60(F.col("w")))
     )
-    bits = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("b"),
-        "h60",
-        "cnt",
-    ).select(
-        "doc_id",
-        "b",
-        F.expr("CASE WHEN (shiftright(h60, b) & 1) = 1 THEN cnt ELSE -cnt END").alias(
-            "contrib"
-        ),
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN (shiftright(h60, {b}) & 1) = 1 THEN cnt ELSE -cnt END")
+            ).alias(f"v{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
     )
-    bit_signs = bits.groupBy("doc_id", "b").agg(
-        F.when(F.sum("contrib") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit")
+    fingerprint = F.expr(
+        " + ".join(
+            f"(CASE WHEN v{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE 0 END)"
+            for b in range(_SIMHASH_BITS)
+        )
     )
-    return bit_signs.groupBy("doc_id").agg(
-        F.sum(F.expr("shiftleft(CAST(bit AS BIGINT), b)")).alias("simhash")
-    )
+    return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
 _SQL_SIMHASH = f"""

@@ -1,0 +1,132 @@
+"""End-to-end ETL pipeline runner — the reference's headline shape.
+
+Reference parity: "designed and implemented end-to-end ETL pipelines to
+extract raw data from multiple sources, transform it using PySpark, and load
+it … for querying and analysis" (reference README.md:10), "implemented
+incremental load and full load strategies" (README.md:4), "Slowly Changing
+Dimensions (SCD) Type 1 and Type 2" (README.md:6), and "data integrity and
+consistency by implementing error handling and logging mechanisms throughout
+the ETL process" (README.md:12).
+
+This module composes the operator library into one auditable run:
+
+  extract  → schema-validated Parquet scans (multiple "sources": the star
+             fixtures stand in for heterogeneous feeds)
+  validate → dq_quarantine splits facts into valid/quarantined with
+             per-rule reject reasons (README.md:12)
+  conform  → SCD2 upsert of the customer dimension at a *parameterized*
+             batch timestamp (no current_timestamp — deterministic reruns)
+  load     → full load (overwrite) for dims, partitioned append-shaped
+             write for facts, incremental watermark load for events
+  audit    → structured metrics (row counts per stage, rejects per rule,
+             stage durations) via std-lib logging + a returned dict
+
+Every stage logs; any stage failure is logged with its stage name and
+re-raised — the caller decides retry policy. All writes land under a caller
+-supplied target directory (never the fixtures).
+
+Scale: the runner adds NO driver-side data movement of its own — each stage
+is a DataFrame plan; counts come from the write-side metrics queries. At
+100 TB the same runner executes unchanged; only session/master config and
+target paths differ.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.etl import dq_quarantine, incr_load_watermark, scd2_apply, scd2_init
+from .sources.tables import table
+
+log = logging.getLogger("t20spark.pipeline")
+
+
+@contextmanager
+def _stage(name: str, metrics: dict):
+    """Log + time one pipeline stage; log and re-raise on failure
+    (reference README.md:12 'error handling and logging … throughout')."""
+    t0 = time.perf_counter()
+    log.info("stage %s: start", name)
+    try:
+        yield
+    except Exception:
+        log.exception("stage %s: FAILED", name)
+        raise
+    finally:
+        metrics[f"{name}_sec"] = round(time.perf_counter() - t0, 3)
+        log.info("stage %s: done in %.3fs", name, metrics[f"{name}_sec"])
+
+
+def lineitem_rules() -> dict:
+    """Built lazily — Column construction needs an active Spark session."""
+    return {
+        "quantity_range": F.col("l_quantity").between(1, 50),
+        "discount_max": F.col("l_discount") <= 0.10,
+        "nonnull_key": F.col("l_orderkey").isNotNull(),
+    }
+
+
+def run_etl(
+    spark: SparkSession, sf_dir: str, target_dir: str, batch_ts: str
+) -> dict:
+    """One full pipeline run; returns the audit-metrics dict."""
+    metrics: dict = {"batch_ts": batch_ts}
+
+    with _stage("extract", metrics):
+        customer = table(spark, sf_dir, "customer")
+        lineitem = table(spark, sf_dir, "lineitem")
+        events = table(spark, sf_dir, "events")
+
+    with _stage("validate", metrics):
+        valid, quarantined = dq_quarantine(lineitem, lineitem_rules())
+        rejects = (
+            quarantined.select(F.explode("_dq_reasons").alias("rule"))
+            .groupBy("rule")
+            .count()
+            .collect()
+        )
+        metrics["rejects_by_rule"] = {r["rule"]: r["count"] for r in rejects}
+        metrics["rows_valid"] = valid.count()
+
+    with _stage("conform_scd2", metrics):
+        keys, attrs = ["c_custkey"], ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+        dim_path = f"{target_dir}/dim_customer"
+        if os.path.exists(dim_path):
+            target = spark.read.parquet(dim_path)
+        else:  # first run: initialize open-ended history
+            target = scd2_init(customer, batch_ts="1970-01-01 00:00:00")
+        dim = scd2_apply(target, customer, keys=keys, attrs=attrs, batch_ts=batch_ts)
+        # materialize BEFORE overwriting the path we read from
+        dim_rows = dim.cache().count()
+        dim.write.mode("overwrite").parquet(dim_path)
+        dim.unpersist()
+        metrics["dim_customer_rows"] = dim_rows
+
+    with _stage("load_facts", metrics):
+        fact = valid.withColumn("ship_year", F.year("l_shipdate"))
+        fact.write.mode("overwrite").partitionBy("ship_year").parquet(
+            f"{target_dir}/fact_lineitem"
+        )
+        metrics["fact_rows"] = spark.read.parquet(f"{target_dir}/fact_lineitem").count()
+
+    with _stage("load_events_incremental", metrics):
+        ev_path = f"{target_dir}/events"
+        if os.path.exists(ev_path):
+            loaded = spark.read.parquet(ev_path)
+            merged = incr_load_watermark(loaded, events, ts_col="ts", id_col="event_id")
+            merged_rows = merged.cache().count()
+            merged.write.mode("overwrite").parquet(ev_path)
+            merged.unpersist()
+        else:
+            events.write.mode("overwrite").parquet(ev_path)
+            merged_rows = spark.read.parquet(ev_path).count()
+        metrics["events_rows"] = merged_rows
+
+    log.info("pipeline complete: %s", metrics)
+    return metrics

@@ -266,6 +266,52 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+@query(
+    "stream_join_interval",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+""",
+)
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (batch formulation): every purchase within
+    one hour after a click by the same user — the attribution-join shape.
+    The equi key (user_id) carries the shuffle; the time range is a residual
+    predicate. In streaming (tests/test_streaming.py) both sides carry
+    watermarks, which bound the join state to the interval + watermark
+    horizon — the property that keeps state finite at 100 TB/day.
+    """
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        )
+    )
+
+
 STATEFUL_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATEFUL_STATE_SCHEMA = "cnt bigint, scaled bigint"
 

@@ -82,6 +82,42 @@ def test_batch_streaming_queries_run(spark, sf_dir, qid):
     assert QUERIES[qid](spark, sf_dir).count() > 0
 
 
+def test_stream_stream_interval_join_parity(spark, sf_dir):
+    """Watermarked stream-stream interval join (append mode) must emit the
+    same click→purchase attribution pairs as the batch formulation."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    got = run_available_now(joined, "t20_stream_interval_join", output_mode="append")
+    want = QUERIES["stream_join_interval"](spark, sf_dir)
+    cols = ["user_id", "click_id", "purchase_id", "lag_us"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_stateful_user_totals_parity(spark, sf_dir):
     """Custom applyInPandasWithState operator must reproduce the exact
     batch aggregation (one availableNow batch ⇒ final state per user)."""
