@@ -902,11 +902,24 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def nearest_cells(vecs: DataFrame, cents: DataFrame, n: int) -> DataFrame:
-        """Top-n cells per vector by cosine against broadcast centroids."""
-        scored = vecs.crossJoin(F.broadcast(cents)).select(
+        """Top-n cells per vector by cosine against broadcast centroids.
+        Norms are precomputed once per side (not per pair), so the per-pair
+        work is a single dot fold — 3× less than naive cosine()."""
+        v = vecs.withColumn("_vn", norm(F.col("embedding")))
+        c = cents.withColumn("_cn", norm(F.col("centroid")))
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("centroid").cast("array<double>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        scored = v.crossJoin(F.broadcast(c)).select(
             "vec_id",
             "cell",
-            cosine(F.col("embedding"), F.col("centroid")).alias("csim"),
+            (dot / (F.col("_vn") * F.col("_cn"))).alias("csim"),
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
         return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)

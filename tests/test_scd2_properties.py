@@ -1,0 +1,72 @@
+"""Property-based model-checking of the SCD2 kernel (hypothesis).
+
+A simple in-memory model applies random staged batches; the Spark kernel
+must agree with the model on: the current attribute per key, one-current-row
+-per-key, timeline tiling, and history depth = number of actual changes.
+This explores the batch-sequence space (new keys, repeated values, flapping
+values A→B→A) far beyond the hand-written examples.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from t20_database_etl_pipeline_assignment_spark.operators.etl import (
+    scd2_apply,
+    scd2_init,
+)
+
+KEYS = [1, 2, 3]
+VALUES = ["a", "b", "c"]
+
+# one staged batch: a subset of keys, each with a value
+batch_st = st.dictionaries(st.sampled_from(KEYS), st.sampled_from(VALUES), min_size=1)
+batches_st = st.lists(batch_st, min_size=1, max_size=3)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=batches_st)
+def test_scd2_agrees_with_model(spark, batches):
+    base = dt.datetime(2024, 1, 1)
+
+    # init from batch 0 applied as the first snapshot
+    first = batches[0]
+    init_rows = [(k, v) for k, v in sorted(first.items())]
+    target = scd2_init(
+        spark.createDataFrame(init_rows, "k long, attr string"),
+        batch_ts="2024-01-01 00:00:00",
+    )
+    model = dict(first)  # key -> current value
+    changes = {k: 1 for k in first}  # key -> number of versions
+
+    for i, batch in enumerate(batches[1:], start=1):
+        ts = (base + dt.timedelta(days=i)).strftime("%Y-%m-%d %H:%M:%S")
+        staged = spark.createDataFrame(
+            [(k, v) for k, v in sorted(batch.items())], "k long, attr string"
+        )
+        target = scd2_apply(target, staged, ["k"], ["attr"], batch_ts=ts)
+        for k, v in batch.items():
+            if k not in model:
+                model[k] = v
+                changes[k] = 1
+            elif model[k] != v:
+                model[k] = v
+                changes[k] += 1
+
+    rows = target.collect()
+    current = {r.k: r.attr for r in rows if r.is_current}
+    assert current == model
+
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    for k, versions in by_key.items():
+        assert sum(1 for r in versions if r.is_current) == 1
+        assert len(versions) == changes[k], f"key {k} history depth"
+        ordered = sorted(versions, key=lambda r: r.effective_from)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.effective_to == b.effective_from, f"key {k} timeline gap"
+        assert ordered[-1].is_current
