@@ -352,6 +352,53 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def make_user_count_processor():
+    """StatefulProcessor for `transformWithStateInPandas` — Spark 4's
+    arbitrary-state API (typed state handles, timers, TTL) superseding
+    applyInPandasWithState. Same running per-user totals as
+    stateful_user_totals, expressed against the new API so both stateful
+    surfaces are covered; parity is checked in tests/test_streaming.py.
+    Built lazily (class definition touches pyspark.sql.streaming internals
+    best imported under an active session)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserCountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cnt = handle.getValueState("cnt", "cnt bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt = self._cnt.get()[0] if self._cnt.exists() else 0
+            for pdf in rows:
+                cnt += len(pdf)
+            self._cnt.update((cnt,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt]})
+
+        def close(self) -> None:
+            pass
+
+    return UserCountProcessor()
+
+
+def stateful_user_counts_tws(stream: DataFrame) -> DataFrame:
+    """Per-user running counts via transformWithStateInPandas (RocksDB state
+    store). State: one bigint per user — bounded by key cardinality.
+
+    NOTE: this container lacks protobuf (the state-server wire protocol), so
+    the parity test skips here and runs on any protobuf-equipped cluster;
+    applyInPandasWithState (stateful_user_totals) is the fully-tested path
+    in this environment."""
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_user_count_processor(),
+        outputStructType="user_id bigint, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_available_now(df: DataFrame, query_name: str, output_mode: str = "complete"):
     """Drain a bounded stream into a memory sink and return the result DF."""
     q = (

@@ -74,6 +74,34 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan  # the post-join aggregation only
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """A fact table partitioned on the join key, joined to a filtered dim,
+    must scan only the partitions the dim selects — Spark's dynamic
+    partition pruning (the runtime counterpart of static pruning). This is
+    the mechanism that makes the partitioned sink layout pay off at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+
+    path = str(tmp_path / "orders_by_year")
+    (
+        table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.range(1995, 2002).select(
+        F.col("id").alias("d_year"), (F.col("id") % 2 == 0).alias("is_even")
+    )
+    joined = fact.join(
+        F.broadcast(dim.filter(F.col("is_even"))), fact["o_year"] == dim["d_year"]
+    ).groupBy("o_year").count()
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_salted_join_spreads_keys(spark, sf_dir):
     """The salted join must shuffle on (key, salt) — visible as the salt
     column in the join keys — and still broadcast the tiny nation dim."""

@@ -118,6 +118,47 @@ def test_stream_stream_interval_join_parity(spark, sf_dir):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_transform_with_state_parity(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas (RocksDB state store) must agree
+    with the plain batch count per user."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas drives its state server over protobuf, "
+            "which is not installed in this container (installs are frozen); "
+            "the operator itself is exercised on any protobuf-equipped cluster"
+        )
+
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+    from t20_database_etl_pipeline_assignment_spark.streaming.windows import (
+        stateful_user_counts_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        got = run_available_now(
+            stateful_user_counts_tws(stream), "t20_tws_counts", output_mode="update"
+        )
+        want = (
+            table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        cols = ["user_id", "n_events"]
+        assert _rows(got, cols) == _rows(want, cols)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_stateful_user_totals_parity(spark, sf_dir):
     """Custom applyInPandasWithState operator must reproduce the exact
     batch aggregation (one availableNow batch ⇒ final state per user)."""
