@@ -285,3 +285,75 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.percentile(scaled, F.lit(0.50)) / 100.0).alias("med"),
         (F.percentile(scaled, F.lit(0.75)) / 100.0).alias("q3"),
     )
+
+
+@query(
+    "agg_stats_exact",
+    oracle="""
+WITH base AS (
+  SELECT o_orderstatus,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS x100,
+         CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS x1
+  FROM orders),
+mu AS (
+  SELECT o_orderstatus,
+         CAST(SUM(x1) // COUNT(*) AS BIGINT) AS mu
+  FROM base GROUP BY o_orderstatus),
+agg AS (
+  SELECT b.o_orderstatus,
+         COUNT(*) AS n,
+         CAST(SUM(x100) AS BIGINT) AS sx100,
+         CAST(SUM(x1 - mu) AS BIGINT) AS sd,
+         CAST(SUM((x1 - mu) * (x1 - mu)) AS BIGINT) AS sdd
+  FROM base b JOIN mu USING (o_orderstatus)
+  GROUP BY b.o_orderstatus)
+SELECT o_orderstatus,
+       n,
+       round((CAST(sx100 AS DOUBLE) / 100.0) / n, 6) AS mean_price,
+       round(sqrt((sdd - (sd * sd) / (1.0 * n)) / (n - 1)), 6) AS stddev_price
+FROM agg
+""",
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample standard deviation via exact-integer CENTERED moments.
+
+    Built-in stddev/var use engine-specific streaming formulas (Welford vs
+    sum-of-squares, different merge orders) that are not bit-reproducible
+    across engines or partitionings. Here both engines compute: (pass 1) an
+    integer floor-mean μ per group, (pass 2) exact integer Σd and Σd² of the
+    deviations d = x−μ — order-insensitive by construction — then finish
+    with a handful of identical float ops. Centering keeps the squares near
+    the variance magnitude (raw Σx² of scaled prices overflows int64;
+    deviations don't), which is also what makes the trick viable at 100 TB:
+    the per-group state is three integers, merge-safe across any partial-
+    aggregation tree, with DECIMAL(38,0) as the headroom escape if group
+    counts push Σd² past 2^53.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        scaled_long(F.col("o_totalprice"), 100).alias("x100"),
+        scaled_long(F.col("o_totalprice"), 1).alias("x1"),
+    )
+    mu = o.groupBy("o_orderstatus").agg(
+        F.expr("sum(x1) div count(*)").alias("mu")
+    )
+    d = F.col("x1") - F.col("mu")
+    agg = (
+        o.join(F.broadcast(mu), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x100").alias("sx100"),
+            F.sum(d).alias("sd"),
+            F.sum(d * d).alias("sdd"),
+        )
+    )
+    n, sx100, sd, sdd = F.col("n"), F.col("sx100"), F.col("sd"), F.col("sdd")
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        F.round((sx100.cast("double") / 100.0) / n, 6).alias("mean_price"),
+        F.round(
+            F.sqrt((sdd - (sd * sd) / (F.lit(1.0) * n)) / (n - 1)), 6
+        ).alias("stddev_price"),
+    )

@@ -117,6 +117,41 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(PART_SCHEMA).json(path)
 
 
+@query("scan_orc", oracle="SELECT * FROM nation")
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip — Spark's second first-class columnar
+    format (vectorized reader, predicate pushdown, same partitioning story
+    as Parquet). Exercised on the nation dim."""
+    path = _tmp(sf_dir, "orc")
+    table(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@query(
+    "scan_text",
+    oracle="""
+SELECT doc_id, text FROM documents WHERE doc_id < 100
+""",
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-line text source (`spark.read.text`) — the raw-feed shape for
+    log/corpus ingestion: one `value` column per line, structure recovered
+    by the transform layer. Round-trips tab-joined (doc_id, text) lines and
+    re-parses them with JVM-side string ops (no UDF). Fixture texts are
+    single-line and tab-free, so the framing is lossless."""
+    path = _tmp(sf_dir, "text")
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 2)
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sinks
 # ---------------------------------------------------------------------------

@@ -75,6 +75,37 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sql_flagship_star", oracle=ORACLE_STAR)
+def sql_flagship_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same flagship query through the `spark.sql` TEXT entry point —
+    proving the engine's second API surface (SURVEY.md §3.2 EP1 vs EP2):
+    SQL text and the DataFrame DSL converge on the identical Catalyst plan,
+    so both are first-class ways to drive every operator here. The scaled-
+    integer SUM is spelled inline; the broadcast hint rides the SQL hint
+    syntax."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(v_nation), BROADCAST(v_region) */
+          r_name,
+          CAST(year(o_orderdate) AS BIGINT) AS order_year,
+          SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * CAST(10000 AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            / CAST(10000 AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM v_lineitem
+        JOIN v_orders   ON l_orderkey = o_orderkey
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN v_nation   ON c_nationkey = n_nationkey
+        JOIN v_region   ON n_regionkey = r_regionkey
+        WHERE l_shipdate >= TIMESTAMP '{_SHIP_LO}'
+          AND l_shipdate <  TIMESTAMP '{_SHIP_HI}'
+        GROUP BY r_name, order_year
+        """
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Entry-point wrapper used by the driver smoke check."""
     return join_multiway_star(spark, sf_dir)
