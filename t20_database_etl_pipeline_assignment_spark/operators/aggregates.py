@@ -11,7 +11,7 @@ keys — verified HashAggregate pairs in .explain()).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exprs import money_avg, money_sum, scaled_long, sql_money_avg, sql_money_sum
@@ -357,3 +357,53 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt((sdd - (sd * sd) / (F.lit(1.0) * n)) / (n - 1)), 6
         ).alias("stddev_price"),
     )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+WITH per_key AS (
+  SELECT o_custkey AS k, COUNT(*) AS cnt
+  FROM orders GROUP BY o_custkey),
+hot AS (
+  SELECT k, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, k ASC) AS rn
+  FROM per_key)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       round(MAX(cnt) / ((CAST(SUM(cnt) AS DOUBLE)) / COUNT(*)), 6)
+         AS skew_ratio,
+       (SELECT string_agg(CAST(k AS VARCHAR), ',' ORDER BY rn)
+        FROM hot WHERE rn <= 3) AS top3_keys
+FROM per_key
+""",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the measurement you take BEFORE picking a
+    strategy at 100 TB (broadcast? salt? AQE skew split?). One count
+    aggregation per key, then a tiny global reduction: number of keys, rows,
+    the hottest key's count, skew ratio (hottest / mean), and the top-3 hot
+    keys. On real pipelines this runs on a sample; the shape is identical.
+    """
+    per_key = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("k"))
+    top3 = (
+        per_key.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("rn")
+        .agg(F.concat_ws(",", F.collect_list(F.col("k").cast("string"))).alias("top3_keys"))
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(
+            F.max("cnt") / (F.sum("cnt").cast("double") / F.count(F.lit(1))), 6
+        ).alias("skew_ratio"),
+    )
+    return stats.crossJoin(top3)
