@@ -997,6 +997,61 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_quantize_int8",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+           AS scale,
+         embedding::DOUBLE[] AS e
+  FROM embeddings
+  WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0),
+z AS (
+  SELECT vec_id, label, scale,
+         list_transform(e, x -> CAST(FLOOR(x * scale + 0.5) AS BIGINT)) AS qv
+  FROM q)
+SELECT vec_id, label,
+       round(scale, 6) AS scale_r,
+       CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_l2,
+       CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat
+FROM z
+""",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings — the storage/serving
+    compression step of a vector pipeline (4× smaller than float32, dot
+    products in integer SIMD). Per-vector absmax scale; quantized values via
+    the same floor(x·s + 0.5) rule both engines share, so the audit columns
+    (integer L2 norm of the quantized vector, saturation count) are exact.
+    Pure higher-order functions — embarrassingly parallel, no shuffle.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ed = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(ed, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.col("max_abs")
+    qv = F.transform(ed, lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("long"))
+    return (
+        e.withColumn("max_abs", max_abs)
+        .filter(F.col("max_abs") > 0)
+        .withColumn("scale", scale)
+        .withColumn("qv", qv)
+        .select(
+            "vec_id",
+            "label",
+            F.round("scale", 6).alias("scale_r"),
+            F.aggregate(
+                F.transform(F.col("qv"), lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda s, v: s + v,
+            ).alias("q_l2"),
+            F.size(F.filter(F.col("qv"), lambda v: F.abs(v) == 127))
+            .cast("long")
+            .alias("n_sat"),
+        )
+    )
+
+
+@query(
     "multimodal_bundle",
     oracle=f"""
 SELECT d.doc_id, d.lang, d.n_chars,

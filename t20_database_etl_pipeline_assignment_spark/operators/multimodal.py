@@ -71,6 +71,57 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> "object":
     )
 
 
+FRAME_BYTES = 64
+FRAME_STRIDE = 4  # sample every 4th frame
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_len long, frame_md5 string"
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1→N frame sampling over binary payloads — the mapInPandas batch shape
+    a real video frame-sampler uses (opaque bytes in, row-per-sampled-frame
+    out), with a deterministic fixed-size-window 'codec' standing in for the
+    absent media library. Constant memory per Arrow batch; frame rows never
+    touch the driver."""
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            n_frames = -(-len(data) // FRAME_BYTES)  # ceil
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                frame = data[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_len"].append(len(frame))
+                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(length(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS BIGINT)
+         AS frame_len,
+       md5(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+FROM documents
+CROSS JOIN unnest(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT),
+                        {FRAME_STRIDE})) AS t(i)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque binary column: every {STRIDE}-th
+    {BYTES}-byte frame, with length + content hash per frame. The oracle
+    recomputes each frame from the text directly (ASCII ⇒ bytes == chars),
+    so the whole 1→N Arrow path is value-checked."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+
+
 @query(
     "multimodal_binary_features",
     oracle="""
