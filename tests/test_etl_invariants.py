@@ -78,6 +78,33 @@ def test_scd2_idempotent_reapply(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+def test_scd2_empty_staged_is_noop(spark):
+    target = _mk_dim(
+        spark,
+        [
+            (1, "a", _ts("2020-01-01"), _ts("2021-01-01"), False),
+            (1, "b", _ts("2021-01-01"), _ts("2200-01-01"), True),
+        ],
+    )
+    staged = _mk_dim(spark, []).select("k", "attr")  # empty batch, right schema
+    out = scd2_apply(target, staged, ["k"], ["attr"], "2022-01-01")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, target.collect()))
+
+
+def test_scd2_empty_target_bootstraps(spark):
+    from t20_database_etl_pipeline_assignment_spark.operators.etl import scd2_init
+
+    empty = _mk_dim(spark, [])
+    staged = _mk_staged(spark, [(1, "a"), (2, "b")])
+    out = scd2_apply(empty, staged, ["k"], ["attr"], "2022-01-01")
+    rows = {(r.k, r.attr) for r in out.collect()}
+    assert rows == {(1, "a"), (2, "b")}
+    assert all(r.is_current for r in out.collect())
+    # and scd2_init produces the same shape for a first snapshot
+    init = scd2_init(staged, "2022-01-01")
+    assert sorted(map(tuple, init.collect())) == sorted(map(tuple, out.collect()))
+
+
 def test_merge_upsert_staged_wins(spark):
     t = spark.createDataFrame([(1, "old"), (2, "keep")], "k long, v string")
     s = spark.createDataFrame([(1, "new"), (3, "ins")], "k long, v string")
