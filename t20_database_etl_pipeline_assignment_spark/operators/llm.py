@@ -383,8 +383,14 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
         docs.select("doc_id", F.explode(_tokens()).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h60", hash60(F.col("w")))
     )
+    # hash the (small) distinct vocabulary once and broadcast it back,
+    # instead of md5+hex-parse per (doc, token) row — md5 is the expensive
+    # expression here, and natural-language vocabularies are tiny relative
+    # to the corpus (Heaps' law), so this trades ~|corpus| hash evals for
+    # ~|vocab| evals plus a broadcast hash join.
+    vocab = tok.select("w").distinct().withColumn("h60", hash60(F.col("w")))
+    tok = tok.join(F.broadcast(vocab), "w")
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
