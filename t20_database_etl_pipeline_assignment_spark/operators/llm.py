@@ -1089,3 +1089,51 @@ def multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bundle.embedding").cast("long").alias("emb_dim"),
         F.round(norm(F.col("bundle.embedding")), 6).alias("emb_norm"),
     )
+
+
+@query(
+    "text_normalize_scrub",
+    oracle="""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+             regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+             '  +', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT doc_id,
+       md5(norm_text) AS norm_md5,
+       CAST(length(norm_text) AS BIGINT) AS norm_len,
+       CAST(length(norm_text) - length(replace(norm_text, '<num>', ''))
+            AS BIGINT) / 5 AS n_masked
+FROM n
+""",
+)
+def text_normalize_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization + scrubbing — the cleaning stage that runs BEFORE any
+    dedup/fingerprint pass in a pretraining pipeline: lowercase, mask digit
+    runs (the PII-scrub shape: the same regexp_replace carries email/phone
+    patterns in production), collapse whitespace, trim. All JVM-side
+    regexp_replace (Java regex here, RE2 in the oracle — the patterns used
+    are in the common subset both dialects treat identically). Output is
+    audited by md5 + length + masked-token count, so the full normalized
+    string is value-checked without hashing megabytes of text through the
+    driver.
+    """
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "<num>"),
+            "  +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
+        (
+            (F.length(norm) - F.length(F.replace(norm, F.lit("<num>"), F.lit(""))))
+            .cast("long")
+            / F.lit(5)
+        ).alias("n_masked"),
+    )
