@@ -510,3 +510,61 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice")).alias("total"),
         )
     )
+
+
+_RANGE_SECS = 300  # 5-minute blast-radius horizon == the bucket width
+
+
+@query(
+    "join_range_bucketed",
+    oracle=f"""
+SELECT a.event_id AS error_id, b.event_id AS event_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'error') a
+JOIN events b
+  ON b.ts >= a.ts
+ AND b.ts < a.ts + INTERVAL {_RANGE_SECS} SECOND
+ AND b.event_id <> a.event_id
+""",
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE interval join (no equi key): every event within 5 minutes after
+    each error event — error blast-radius analysis. Naively this is a
+    cartesian product with a range filter, the join shape that melts down at
+    100 TB. Scale formulation: discretize time into horizon-width buckets;
+    each anchor covers ≤2 buckets (explode bounded by horizon/bucket, never
+    by data size), each probe row has exactly one bucket; hash-join on the
+    bucket key with the exact range as a residual. Cost: 2|anchors| +
+    |events| shuffled on bucket keys, vs |anchors|×|events| cartesian. Same
+    technique stream processors use for interval joins. The oracle runs the
+    naive formulation (fine at fixture scale) — results must be identical.
+    """
+    e = table(spark, sf_dir, "events")
+    bucket_of = lambda c: (F.unix_timestamp(c) / _RANGE_SECS).cast("long")  # noqa: E731
+    anchors = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("a_ts"),
+            F.explode(
+                F.sequence(bucket_of(F.col("ts")), bucket_of(F.col("ts")) + 1)
+            ).alias("bucket"),
+        )
+    )
+    probes = e.select("event_id", "ts", bucket_of(F.col("ts")).alias("bucket"))
+    return (
+        anchors.join(probes, "bucket")
+        .filter(
+            (F.col("ts") >= F.col("a_ts"))
+            & (F.col("ts") < F.col("a_ts") + F.expr(f"INTERVAL {_RANGE_SECS} SECONDS"))
+            & (F.col("event_id") != F.col("error_id"))
+        )
+        .select(
+            "error_id",
+            "event_id",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("a_ts").cast("timestamp"))
+            ).alias("lag_us"),
+        )
+    )

@@ -196,3 +196,49 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderdate").over(w).alias("first_order_date"),
         F.last("o_orderdate").over(w).alias("latest_order_date"),
     )
+
+
+@query(
+    "win_gap_fill_calendar",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(date_trunc('month', MIN(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS hi
+  FROM events),
+cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY day)
+SELECT CAST(cal.day AS TIMESTAMP) AS day,
+       COALESCE(daily.n, 0) AS n_purchases,
+       (daily.n IS NULL) AS is_gap
+FROM cal LEFT JOIN daily ON cal.day = daily.day
+""",
+)
+def win_gap_fill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar scaffolding / gap filling: left-join a generated day spine
+    against sparse daily aggregates so missing days surface as explicit
+    zero rows — the shape every time-series rollup needs before charting or
+    window math. The spine is `sequence()` over the observed bounds
+    (generated, never materialized driver-side); at 100 TB the spine is
+    thousands of rows regardless of data size and broadcasts.
+    """
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("month", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cal.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases"),
+        F.col("n").isNull().alias("is_gap"),
+    )
