@@ -1137,3 +1137,110 @@ def text_normalize_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(5)
         ).alias("n_masked"),
     )
+
+
+@query("dedup_cascade")  # composite of exact + LSH stages → rows-only check
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-dedup cascade in one plan, cheap-to-expensive —
+    the composition a real 100 TB curation run executes:
+
+      1. normalize      (lowercase, digit-mask, whitespace-collapse)
+      2. exact dedup    (sha256 of normalized text, lowest doc_id survives)
+      3. near-dup drop  (MinHash band candidates → exact-Jaccard ≥ 0.9
+                         verification → higher doc_id of each pair drops)
+
+    Input is the corpus unioned with itself under shifted ids (injected
+    exact dups) so stage 2 must remove exactly half. Output: one row per
+    stage with surviving doc counts — deterministic, monotone decreasing
+    (asserted in tests/test_llm_ops.py).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "<num>"), "  +", " "
+        )
+    )
+    normalized = raw.select("doc_id", norm.alias("text"))
+
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(F.asc("doc_id"))
+    exact = (
+        normalized.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    sh = shingles(exact)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+            for i in range(_MINHASH_PERMS)
+        ]
+    )
+    rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("band_val"),
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc2") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    drops = (
+        inter.join(za, F.col("doc1") == F.col("za.doc_id"))
+        .join(zb, F.col("doc2") == F.col("zb.doc_id"))
+        .filter(
+            F.col("i") / (F.lit(1.0) * (F.col("za.sz") + F.col("zb.sz") - F.col("i")))
+            >= 0.9
+        )
+        .select(F.col("doc2").alias("doc_id"))
+        .distinct()
+    )
+    final = exact.join(drops, "doc_id", "left_anti")
+
+    return (
+        raw.agg(F.count(F.lit(1)).alias("n_docs")).select(F.lit("0_raw").alias("stage"), "n_docs")
+        .unionByName(
+            exact.agg(F.count(F.lit(1)).alias("n_docs")).select(
+                F.lit("1_exact").alias("stage"), "n_docs"
+            )
+        )
+        .unionByName(
+            final.agg(F.count(F.lit(1)).alias("n_docs")).select(
+                F.lit("2_near").alias("stage"), "n_docs"
+            )
+        )
+    )

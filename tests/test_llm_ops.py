@@ -58,6 +58,15 @@ def test_ann_ivf_recall(spark, sf_dir):
             assert v == exact_pairs[k]
 
 
+def test_dedup_cascade_stages(spark, sf_dir):
+    """The cascade must (a) remove exactly the injected exact duplicates in
+    stage 1 (half the doubled corpus), (b) only ever shrink the corpus."""
+    out = {r.stage: r.n_docs for r in QUERIES["dedup_cascade"](spark, sf_dir).collect()}
+    assert out["0_raw"] == 2 * out["1_exact"]
+    assert out["2_near"] <= out["1_exact"]
+    assert out["2_near"] > 0
+
+
 def test_decode_stubs_raise(spark):
     from t20_database_etl_pipeline_assignment_spark.operators.multimodal import (
         decode_image,
