@@ -152,6 +152,37 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_json_badrecords",
+    oracle="SELECT * FROM part WHERE p_partkey % 10 <> 0",
+)
+def scan_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON ingestion with corrupt-record routing (reference
+    README.md:12 "error handling … throughout the ETL process"): every 10th
+    row of the part table is written as deliberately malformed JSON; the
+    scan parses with a declared schema + `_corrupt_record` column and routes
+    bad lines out instead of failing the job. The oracle is the clean subset
+    — proving the parser recovered every valid row and only the valid rows.
+    At 100 TB the corrupt side feeds the same quarantine sink as
+    dq_quarantine; `columnNameOfCorruptRecord` keeps raw bytes for replay.
+    """
+    path = _tmp(sf_dir, "json_bad")
+    p = table(spark, sf_dir, "part")
+    good = F.to_json(F.struct(*[F.col(c) for c in p.columns]))
+    line = F.when(F.col("p_partkey") % 10 == 0, F.concat(F.lit("{corrupt!"), good)).otherwise(
+        good
+    )
+    p.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = PART_SCHEMA.add("_corrupt_record", T.StringType())
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return parsed.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+
+
 # ---------------------------------------------------------------------------
 # Sinks
 # ---------------------------------------------------------------------------
