@@ -487,9 +487,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-zero-cost dedup: hash-groupBy on normalized content
     (BASELINE.json north star "dedup"). Duplicates are injected by unioning
     the corpus with itself under shifted ids; survivors must be exactly the
-    original doc_ids."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    original doc_ids. The content hash is computed BEFORE the shuffle and
+    the text column dropped — at 100 TB the window shuffles 32-byte hashes,
+    never document payloads."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("_h"),
+    )
     dupes = d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
     all_docs = d.unionByName(dupes)
-    content = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    content = F.col("_h")
     return dedup_exact(all_docs, content, ["doc_id"]).select("doc_id", "lang")

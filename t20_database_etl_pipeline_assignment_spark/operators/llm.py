@@ -433,11 +433,14 @@ FROM documents d JOIN fp ON d.doc_id = fp.doc_id
 """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: exact content hash + SimHash sketch."""
+    """Document fingerprinting: exact content hash + SimHash sketch. The
+    md5 is projected BEFORE the join so the shuffle moves 16-byte digests,
+    not document payloads (the 100 TB-relevant difference)."""
     d = table(spark, sf_dir, "documents")
     fp = simhash_docs(d.select("doc_id", "text"))
-    return d.join(fp, "doc_id").select(
-        "doc_id", F.md5("text").alias("content_md5"), F.col("simhash").cast("long")
+    digests = d.select("doc_id", F.md5("text").alias("content_md5"))
+    return digests.join(fp, "doc_id").select(
+        "doc_id", "content_md5", F.col("simhash").cast("long")
     )
 
 
