@@ -407,3 +407,77 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skew_ratio"),
     )
     return stats.crossJoin(top3)
+
+
+@query("agg_approx_percentile")  # t-digest sketch → rows-only check
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the single-pass mergeable-sketch path that
+    replaces agg_median_percentile's exact sort at 100 TB (same call shape,
+    bounded memory, no per-group sort). Accuracy is bounded by the
+    `accuracy` parameter; tests rely on the exact op for truth."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000).alias("approx_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_regression_slope",
+    oracle="""
+WITH pts AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS x,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM orders),
+m AS (
+  SELECT o_custkey,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY o_custkey)
+SELECT o_custkey, n,
+       round((n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx)) / 100.0, 6)
+         AS slope_per_day
+FROM m
+WHERE n >= 2 AND n * sxx - sx * sx <> 0
+""",
+)
+def agg_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend trend: least-squares slope of order total over
+    time — `regr_slope` semantics, but from exact integer moments (Σx, Σy,
+    Σxy, Σx²) so both engines finish with identical float ops instead of
+    each engine's own streaming covariance formula. Magnitudes: x ≤ ~2.4e3
+    days, y ≤ ~5e7 scaled cents, xy ≤ ~1.2e11 per row — int64 holds ~7e7
+    rows per group before DECIMAL headroom is needed. One shuffle,
+    merge-safe partials, same shape at 100 TB.
+    """
+    o = table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("x"),
+        scaled_long(F.col("o_totalprice"), 100).alias("y"),
+    )
+    m = pts.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx"])
+    det = n * sxx - sx * sx
+    return (
+        m.filter((n >= 2) & (det != 0))
+        .select(
+            "o_custkey",
+            "n",
+            F.round((n * sxy - sx * sy) / (F.lit(1.0) * det) / 100.0, 6).alias(
+                "slope_per_day"
+            ),
+        )
+    )
