@@ -568,3 +568,57 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lag_us"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+WITH a AS (SELECT nullif(c_nationkey % 5, 0) AS grp, c_custkey FROM customer),
+b AS (SELECT nullif(n_nationkey % 5, 0) AS grp, n_nationkey FROM nation)
+SELECT a.grp AS grp, COUNT(*) AS n_pairs,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+GROUP BY a.grp
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics a
+    dimensional pipeline needs when 'unknown' is itself a join bucket
+    (reference README.md:12 "data integrity"). NULL-heavy keys are also the
+    canonical skew hazard: at 100 TB the NULL bucket gets salted
+    (join_skew_salted) or split by AQE.
+    """
+    c = table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("grp"), "c_custkey"
+    )
+    n = table(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey") % 5, F.lit(0)).alias("n_grp"), "n_nationkey"
+    )
+    return (
+        c.join(n, c["grp"].eqNullSafe(n["n_grp"]))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+    )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+SELECT c_nationkey FROM customer WHERE c_custkey % 2 = 0
+EXCEPT ALL
+SELECT c_nationkey FROM customer WHERE c_custkey % 4 = 0
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): per-value multiplicities subtract
+    instead of collapsing to distinct — the correct audit semantics when
+    counting what a load dropped. Spark implements it as a counted
+    anti-aggregation (no quadratic anything)."""
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey")
+    evens = c.filter(F.col("c_custkey") % 2 == 0).select("c_nationkey")
+    fours = c.filter(F.col("c_custkey") % 4 == 0).select("c_nationkey")
+    return evens.exceptAll(fours)
