@@ -242,3 +242,49 @@ def win_gap_fill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "win_forward_fill",
+    oracle="""
+WITH sparse AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN value >= 1.0 THEN value END AS v
+  FROM events),
+filled AS (
+  SELECT user_id, event_id,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+         v IS NULL AS was_gap
+  FROM sparse)
+SELECT user_id, event_id, v_filled, was_gap
+FROM filled
+""",
+)
+def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF): carry the last observed value over gaps —
+    `last_value(... ignore nulls)` with a running frame, the standard
+    sensor/time-series repair. Gaps are injected deterministically (values
+    < 1 nulled). One shuffle on the partition key; the frame is streaming,
+    so state per key is O(1) regardless of history length — identical at
+    100 TB.
+    """
+    e = table(spark, sf_dir, "events")
+    sparse = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("value") >= 1.0, F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "user_id",
+        "event_id",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
