@@ -9,7 +9,8 @@ them for the driver.
 
 from __future__ import annotations
 
-from . import exprs, registry, session  # noqa: F401
+from . import exprs, pipeline, registry, session  # noqa: F401
+from .plans import inspect as plan_inspect  # noqa: F401
 from .sources import tables  # noqa: F401
 from .functions import scalar  # noqa: F401
 from .streaming import windows as stream_windows  # noqa: F401

@@ -9,16 +9,8 @@ aggregations are partial (map-side combine) with a single shuffle.
 
 from __future__ import annotations
 
+from t20_database_etl_pipeline_assignment_spark.plans.inspect import plan_string as plan_of
 from t20_database_etl_pipeline_assignment_spark.registry import QUERIES
-
-
-def plan_of(df, mode: str = "formatted") -> str:
-    """formatted = tree + per-node detail (each node named twice);
-    simple = tree only (one mention per node — use for counting)."""
-    jvm = df.sparkSession._jvm
-    return df._jdf.queryExecution().explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    )
 
 
 def test_star_join_broadcasts_all_dims(spark, sf_dir):
