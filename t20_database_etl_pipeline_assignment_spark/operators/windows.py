@@ -288,3 +288,39 @@ def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@query(
+    "win_pct_change",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_price
+  FROM orders)
+SELECT o_custkey, o_orderkey,
+       round((o_totalprice - prev_price) / prev_price, 6) AS pct_change
+FROM seq
+WHERE prev_price IS NOT NULL
+""",
+)
+def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period percent change per key (lag + one identical float
+    expression on both engines) — the order-to-order spend-delta analytic.
+    First order per customer has no baseline and is excluded. One shuffle on
+    the partition key; O(1) window state."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+    return seq.filter(F.col("prev_price").isNotNull()).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            (F.col("o_totalprice") - F.col("prev_price")) / F.col("prev_price"), 6
+        ).alias("pct_change"),
+    )
