@@ -499,3 +499,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_docs = d.unionByName(dupes)
     content = F.col("_h")
     return dedup_exact(all_docs, content, ["doc_id"]).select("doc_id", "lang")
+
+
+class DataQualityError(RuntimeError):
+    """Raised by `dq_expect` when a hard constraint is violated
+    (reference README.md:12 'error handling … throughout the ETL process')."""
+
+
+def dq_expect(df: DataFrame, rules: dict[str, Column], max_violations: int = 0) -> DataFrame:
+    """Hard data-quality gate: unlike `dq_quarantine` (soft-split and keep
+    going), this ABORTS the pipeline when any rule exceeds its violation
+    budget — the right behavior for invariants that make downstream output
+    meaningless (broken FKs into a dimension, negative quantities feeding a
+    financial rollup). One scan; the whole rule set is evaluated in a single
+    conditional-count aggregation, so the check adds a pass over the data
+    and nothing else. Returns the input DataFrame unchanged for chaining.
+    """
+    counts = df.agg(
+        *[
+            F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
+            for name, cond in rules.items()
+        ]
+    ).collect()[0]
+    failed = {name: counts[name] for name in rules if counts[name] > max_violations}
+    if failed:
+        raise DataQualityError(
+            f"data-quality gate failed (budget {max_violations}): {failed}"
+        )
+    return df

@@ -127,3 +127,22 @@ def test_incremental_load_idempotent(spark):
     assert once.count() == 15
     again = incr_load_watermark(once, arriving, "ts", "event_id")
     assert again.count() == 15  # replaying the same batch is a no-op
+
+
+def test_dq_expect_gate(spark):
+    import pytest
+
+    from t20_database_etl_pipeline_assignment_spark.operators.etl import (
+        DataQualityError,
+        dq_expect,
+    )
+
+    df = spark.createDataFrame([(1, 10.0), (2, -5.0), (3, 7.0)], "k long, v double")
+    # passing gate returns the frame for chaining
+    out = dq_expect(df, {"k_positive": F.col("k") > 0})
+    assert out.count() == 3
+    # violated gate names the rule and aborts
+    with pytest.raises(DataQualityError, match="v_non_negative"):
+        dq_expect(df, {"v_non_negative": F.col("v") >= 0})
+    # a violation budget tolerates bounded dirt
+    dq_expect(df, {"v_non_negative": F.col("v") >= 0}, max_violations=1)
