@@ -481,3 +481,36 @@ def agg_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_HIST_WIDTH = 50000  # price-bucket width for the profile histogram
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+SELECT CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+       CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT) * {_HIST_WIDTH}.0
+         AS bucket_lo,
+       COUNT(*) AS n
+FROM orders
+GROUP BY bucket
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — the profiling primitive behind data-quality
+    dashboards and skew diagnosis. Bucket id is integer floor-division
+    (identical in both engines); one map-side-combined shuffle over at most
+    range/width groups, so cost is independent of row count beyond the scan.
+    """
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / _HIST_WIDTH).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * float(_HIST_WIDTH)).alias("bucket_lo"),
+            "n",
+        )
+    )

@@ -38,6 +38,12 @@ def test_pipeline_end_to_end_and_idempotent(spark, sf_dir, target_dir):
     assert per_key.filter(F.col("n_cur") != 1).count() == 0
     assert dim.filter(F.col("effective_from") >= F.col("effective_to")).count() == 0
 
+    # fact layout: Hive-style ship_year partitions actually materialized
+    import glob
+
+    part_dirs = glob.glob(f"{target_dir}/fact_lineitem/ship_year=*")
+    assert len(part_dirs) >= 2, part_dirs
+
     # rerun same batch: nothing changed ⇒ same dim rows, same event count
     m2 = run_etl(spark, sf_dir, target_dir, batch_ts="2026-01-02 00:00:00")
     assert m2["dim_customer_rows"] == m1["dim_customer_rows"]
