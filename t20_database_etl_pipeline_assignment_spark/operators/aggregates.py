@@ -514,3 +514,42 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000
+           + o_orderkey AS ord
+  FROM orders)
+SELECT o_custkey,
+       arg_max(o_orderkey, ord) AS top_order,
+       arg_min(o_orderkey, ord) AS bottom_order,
+       COUNT(*) AS n_orders
+FROM o
+GROUP BY o_custkey
+""",
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregates (`max_by`/`min_by`): which order was each
+    customer's most/least expensive — the lookup-without-self-join shape
+    that replaces a groupBy+join-back at scale (one shuffle instead of two).
+
+    Determinism: max_by is tie-UNSTABLE by contract, so the ordinal is a
+    composite exact integer (scaled price ‖ orderkey) that is unique per
+    group — both engines then have exactly one argmax. The 10^7 key stride
+    bounds orderkey; production uses a wider stride or a struct ordinal.
+    """
+    o = table(spark, sf_dir, "orders")
+    ord_ = scaled_long(F.col("o_totalprice"), 100) * F.lit(10000000) + F.col("o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", ord_.alias("ord"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", F.col("ord")).alias("top_order"),
+            F.min_by("o_orderkey", F.col("ord")).alias("bottom_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
