@@ -191,16 +191,41 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_hash_xxhash64")  # no DuckDB equivalent → rows-only check
+@query(
+    "fn_hash_xxhash64",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c_name || '|' || c_mktsegment) AS BIGINT)
+         AS n_distinct_xx64,
+       CAST(16 AS BIGINT) AS n_buckets,
+       CAST(0 AS BIGINT) AS min_bucket,
+       CAST(15 AS BIGINT) AS max_bucket
+FROM customer
+""",
+)
 def fn_hash_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xxhash64: the cheap 64-bit partition/shuffle-grade hash (JVM
     intrinsic, ~10× faster than sha2) — what we use at 100 TB for salting,
-    sampling, and dedup bucketing where cryptographic strength is wasted."""
+    sampling, and dedup bucketing where cryptographic strength is wasted.
+
+    DuckDB has no xxhash64, so the driver-facing output is the hash's
+    checkable contract instead of raw digests: distinct-hash count equals
+    distinct-input count (collision-free at fixture scale — a 64-bit hash
+    over ≤1e5 keys collides with p < 3e-10), and the salt buckets derived
+    from pmod(xxhash64) cover exactly 0..15. Raw-digest stability is
+    asserted in tests."""
     c = table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
+    hashed = c.select(
         F.xxhash64("c_name", "c_mktsegment").alias("xx64"),
-        (F.pmod(F.xxhash64("c_custkey"), F.lit(16))).alias("salt_bucket"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("key"),
+        F.pmod(F.xxhash64("c_custkey"), F.lit(16)).alias("salt_bucket"),
+    )
+    return hashed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("xx64").alias("n_distinct_xx64"),
+        F.countDistinct("salt_bucket").alias("n_buckets"),
+        F.min("salt_bucket").alias("min_bucket"),
+        F.max("salt_bucket").alias("max_bucket"),
     )
 
 

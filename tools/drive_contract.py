@@ -1,0 +1,98 @@
+"""Driver-contract replica: run the full __spark_entry__ surface on a
+VANILLA SparkSession — none of session.py's configs — exactly like the
+round driver does.
+
+This is the binding local gate: round 1 shipped a bug (events TIMESTAMP-
+NANOS reads relied on a session-factory config) that every builder-session
+harness missed and the driver's own session exposed. Anything that passes
+here passes the driver.
+
+Usage:
+    python tools/drive_contract.py [sf_dir] [qid ...]
+Defaults: sf_dir=/root/testdata/sf0.01, all queries.
+Exit code 0 iff every checked query matches its oracle by row count and
+order-insensitive value hash (repr-level equality => bit-exact).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as ep
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(pdf: pd.DataFrame) -> str:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_integer_dtype(pdf[c].dtype):
+            pdf[c] = pdf[c].astype("int64")
+        elif pd.api.types.is_float_dtype(pdf[c].dtype):
+            pdf[c] = pdf[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(pdf[c].dtype):
+            pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None)
+    return "\n".join(sorted(repr(t) for t in pdf.itertuples(index=False, name=None)))
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    smoke = ep.entry(spark).collect()
+    assert len(smoke) > 0, "entry() returned 0 rows"
+    print(f"entry(): {len(smoke)} rows OK", flush=True)
+
+    queries = ep.queries()
+    oracles = ep.oracle_sql()
+    qids = only or list(queries)
+    fails: list[str] = []
+    t_all = time.time()
+    for qid in qids:
+        t0 = time.time()
+        try:
+            spdf = queries[qid](spark, sf).toPandas()
+            con = duckdb.connect()
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+                )
+            opdf = con.execute(oracles[qid]).df()
+            con.close()
+            if len(spdf) == len(opdf) and canon(spdf) == canon(opdf):
+                print(f"OK   {qid}: {len(spdf)} rows ({time.time() - t0:.1f}s)", flush=True)
+            else:
+                fails.append(qid)
+                print(f"FAIL {qid}: rows {len(spdf)} vs {len(opdf)}", flush=True)
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            fails.append(qid)
+            print(f"FAIL {qid}: {type(ex).__name__}: {str(ex)[:200]}", flush=True)
+
+    print(
+        f"\n{len(qids) - len(fails)}/{len(qids)} passed in {time.time() - t_all:.0f}s; "
+        f"fails: {fails}",
+        flush=True,
+    )
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
