@@ -263,24 +263,38 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
-    token = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    o_tbl, l_tbl = f"orders_b_{token}", f"lineitem_b_{token}"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for tbl in (o_tbl, l_tbl):
-        # the in-memory catalog is per-session: a previous session's table
-        # files survive at the location without a catalog entry, so clear both
+    def ensure_bucketed(tbl: str, src: DataFrame, key: str) -> DataFrame:
+        """Build-once / probe-many: write the bucketed layout only if its
+        files don't already exist; a later session re-registers the
+        existing files as an external bucketed table instead of paying the
+        write again (the amortization that makes bucketing worth it)."""
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        loc = os.path.join(warehouse, tbl)
+        built = os.path.exists(os.path.join(loc, "_SUCCESS"))
+        if spark.catalog.tableExists(tbl) and built:
+            return spark.table(tbl)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
-    table(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(
-        16, "o_orderkey"
-    ).sortBy("o_orderkey").format("parquet").saveAsTable(o_tbl)
-    table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice"
-    ).write.mode("overwrite").bucketBy(16, "l_orderkey").sortBy(
-        "l_orderkey"
-    ).format("parquet").saveAsTable(l_tbl)
-    o = spark.table(o_tbl)
-    li = spark.table(l_tbl)
+        if built:
+            cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema)
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 16 BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+        else:
+            shutil.rmtree(loc, ignore_errors=True)
+            src.write.mode("overwrite").bucketBy(16, key).sortBy(key).option(
+                "path", loc
+            ).format("parquet").saveAsTable(tbl)
+        return spark.table(tbl)
+
+    token = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    o = ensure_bucketed(f"orders_b_{token}", table(spark, sf_dir, "orders"), "o_orderkey")
+    li = ensure_bucketed(
+        f"lineitem_b_{token}",
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "l_orderkey",
+    )
     # merge hint: model the 100 TB case where NEITHER side broadcasts — the
     # whole point of bucketing. (At toy SF Spark would otherwise broadcast
     # the small side and never show the shuffle-free SMJ this layout buys.)

@@ -745,22 +745,39 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
 
 
-def _pairwise_cosine_grouped(vecs: DataFrame, tau: float) -> DataFrame:
+_PAIR_BLOCK_DEFAULT = 1024
+
+
+def _pairwise_cosine_grouped(
+    vecs: DataFrame, tau: float, block_size: int | None = None
+) -> DataFrame:
     """All ordered pairs (id1 < id2) within each label whose raw cosine ≥ τ.
 
-    Arrow-batched `applyInPandas` kernel: the g×g dot matrix is accumulated
+    Arrow-batched `applyInPandas` kernel: the dot matrix is accumulated
     dimension-by-dimension in float64 (``acc += outer(col_d, col_d)``), which
     is the *identical* left-to-right IEEE summation as the JVM
     ``F.aggregate``-fold and DuckDB's ``list_cosine_similarity`` — bit-exact
     across all three, but vectorized across the whole pair matrix instead of
     an interpreted per-element lambda (~10× faster than the HOF path).
 
-    Scale: pairing is blocked per label (never global all-pairs); each group
-    is one Arrow batch. At 100 TB, labels shard further into block-pairs
-    (grid of sub-blocks joined pairwise) so no single task holds g² floats —
-    the kernel is unchanged, only the grouping key gains a block id.
+    Scale — block-pair sharding: each label is split into contiguous
+    vec_id-ranked blocks of ≤ `block_size` rows, every row is replicated
+    into its grid cells {(blk, j) : j ≥ blk} ∪ {(i, blk) : i < blk}, and
+    the kernel runs per (label, ci, cj) cell. A task therefore holds at
+    most 2·block_size rows and a block_size² sim matrix (8 MB at the 1024
+    default) no matter how hot the label is — the all-pairs-within-label
+    OOM from a single giant Arrow batch cannot happen. Replication factor
+    is ⌈g/block_size⌉ per row, the inherent cost of a quadratic pairing.
+    Per-pair bits are unchanged: each cosine still accumulates the same
+    dims in the same order, whichever cell computes it (asserted in
+    tests/test_llm_ops.py by comparing block sizes 64 vs default).
     """
     import pandas as pd
+
+    if block_size is None:
+        import os
+
+        block_size = int(os.environ.get("T20_PAIR_BLOCK", _PAIR_BLOCK_DEFAULT))
 
     out_schema = T.StructType(
         [
@@ -774,30 +791,75 @@ def _pairwise_cosine_grouped(vecs: DataFrame, tau: float) -> DataFrame:
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        g, dim = mat.shape
-        dot = np.zeros((g, g))
-        nrm = np.zeros(g)
-        for d in range(dim):  # ascending-dim accumulation == sequential fold
-            col = mat[:, d]
-            dot += np.outer(col, col)
-            nrm += col * col
-        sim = dot / (np.sqrt(nrm)[:, None] * np.sqrt(nrm)[None, :])
-        iu, ju = np.triu_indices(g, k=1)
-        vals = sim[iu, ju]
-        keep = vals >= tau
-        return pd.DataFrame(
-            {
-                "id1": ids[iu[keep]],
-                "id2": ids[ju[keep]],
-                "label": np.full(int(keep.sum()), pdf["label"].iloc[0], dtype=np.int32),
-                "sim_raw": vals[keep],
-            }
-        )
+        def pair_block(a: pd.DataFrame, b: pd.DataFrame, cross: bool) -> pd.DataFrame:
+            ids_a = a["vec_id"].to_numpy()
+            ids_b = b["vec_id"].to_numpy()
+            mat_a = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+            mat_b = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            (ga, dim), gb = mat_a.shape, mat_b.shape[0]
+            dot = np.zeros((ga, gb))
+            na = np.zeros(ga)
+            nb = np.zeros(gb)
+            for d in range(dim):  # ascending-dim accumulation == sequential fold
+                ca, cb = mat_a[:, d], mat_b[:, d]
+                dot += np.outer(ca, cb)
+                na += ca * ca
+                nb += cb * cb
+            sim = dot / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+            if cross:
+                iu, ju = np.nonzero(sim >= tau)
+            else:
+                iu, ju = np.triu_indices(ga, k=1)
+                keep = sim[iu, ju] >= tau
+                iu, ju = iu[keep], ju[keep]
+            return pd.DataFrame(
+                {
+                    "id1": ids_a[iu],
+                    "id2": ids_b[ju],
+                    "label": np.full(len(iu), a["label"].iloc[0], dtype=np.int32),
+                    "sim_raw": sim[iu, ju],
+                }
+            )
 
-    return vecs.groupBy("label").applyInPandas(kernel, schema=out_schema)
+        pdf = pdf.sort_values("vec_id")
+        ci, cj = int(pdf["ci"].iloc[0]), int(pdf["cj"].iloc[0])
+        if ci == cj:
+            return pair_block(pdf, pdf, cross=False)
+        # blocks are contiguous in vec_id rank, so every ci-side id < every
+        # cj-side id — (id1, id2) ordering holds by construction.
+        return pair_block(pdf[pdf["blk"] == ci], pdf[pdf["blk"] == cj], cross=True)
+
+    w = Window.partitionBy("label").orderBy("vec_id")
+    blocked = vecs.withColumn(
+        "blk", ((F.row_number().over(w) - F.lit(1)) / F.lit(block_size)).cast("int")
+    )
+    max_blk = blocked.groupBy("label").agg(F.max("blk").alias("max_blk"))
+    cells = (
+        blocked.join(F.broadcast(max_blk), "label")
+        .withColumn(
+            # row in block k belongs to every grid cell touching k:
+            # (min(k,j), max(k,j)) for j = 0..max_blk — each exactly once.
+            "cell",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0).cast("int"), F.col("max_blk")),
+                    lambda j: F.struct(
+                        F.least(F.col("blk"), j).alias("ci"),
+                        F.greatest(F.col("blk"), j).alias("cj"),
+                    ),
+                )
+            ),
+        )
+        .select(
+            "label",
+            "vec_id",
+            "embedding",
+            "blk",
+            F.col("cell.ci").alias("ci"),
+            F.col("cell.cj").alias("cj"),
+        )
+    )
+    return cells.groupBy("label", "ci", "cj").applyInPandas(kernel, schema=out_schema)
 
 
 @query(

@@ -63,6 +63,29 @@ def _stage(name: str, metrics: dict):
         log.info("stage %s: done in %.3fs", name, metrics[f"{name}_sec"])
 
 
+def _overwrite_in_place(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Safely overwrite a parquet dir that `df`'s lineage READS from.
+
+    `cache().count()` is NOT a persistence guarantee — evicted blocks
+    recompute from the source path mid-overwrite and can corrupt the
+    target. Instead: write to a sibling temp dir (fully materializing the
+    plan against the still-intact source), then swap directories with two
+    renames. Readers never observe a partial state, and a crash between
+    the renames leaves a recoverable `.old`. Returns the new row count.
+    """
+    import shutil
+
+    tmp, old = path + ".tmp-swap", path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(path).count()
+
+
 def lineitem_rules() -> dict:
     """Built lazily — Column construction needs an active Spark session."""
     return {
@@ -102,11 +125,7 @@ def run_etl(
         else:  # first run: initialize open-ended history
             target = scd2_init(customer, batch_ts="1970-01-01 00:00:00")
         dim = scd2_apply(target, customer, keys=keys, attrs=attrs, batch_ts=batch_ts)
-        # materialize BEFORE overwriting the path we read from
-        dim_rows = dim.cache().count()
-        dim.write.mode("overwrite").parquet(dim_path)
-        dim.unpersist()
-        metrics["dim_customer_rows"] = dim_rows
+        metrics["dim_customer_rows"] = _overwrite_in_place(spark, dim, dim_path)
 
     with _stage("load_facts", metrics):
         fact = valid.withColumn("ship_year", F.year("l_shipdate"))
@@ -120,9 +139,7 @@ def run_etl(
         if os.path.exists(ev_path):
             loaded = spark.read.parquet(ev_path)
             merged = incr_load_watermark(loaded, events, ts_col="ts", id_col="event_id")
-            merged_rows = merged.cache().count()
-            merged.write.mode("overwrite").parquet(ev_path)
-            merged.unpersist()
+            merged_rows = _overwrite_in_place(spark, merged, ev_path)
         else:
             events.write.mode("overwrite").parquet(ev_path)
             merged_rows = spark.read.parquet(ev_path).count()

