@@ -1524,3 +1524,158 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly: stratified sampling, weighted mixing, sequence packing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+WITH rated AS (
+  SELECT doc_id, lang, source,
+         10 + ({_sql_hash60('lang')} % 81) AS rate_pct,
+         {_sql_hash60("CAST(doc_id AS VARCHAR) || '|' || lang")} % 100 AS bucket
+  FROM documents)
+SELECT doc_id, lang, source, CAST(rate_pct AS BIGINT) AS rate_pct
+FROM rated WHERE bucket < rate_pct
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each language stratum keeps a
+    per-stratum rate (derived here from a hash of the stratum key; in a real
+    curation run the rates come from a config) and membership is decided by
+    a content hash, never an RNG — re-running the pipeline on 100 TB yields
+    the same sample, appending new data never reshuffles old decisions, and
+    the filter is a pure map (no shuffle, no state). This is the standard
+    hash-mod sampling used to rebalance language mixes in pretraining
+    corpora; `sample(fraction=...)` is NOT reproducible across partitionings
+    and never exactly matches an oracle."""
+    d = table(spark, sf_dir, "documents")
+    rate_pct = (F.lit(10) + hash60(F.col("lang")) % 81).cast("long")
+    bucket = (
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("lang"))) % 100
+    )
+    return (
+        d.select("doc_id", "lang", "source", rate_pct.alias("rate_pct"), bucket.alias("_b"))
+        .filter(F.col("_b") < F.col("rate_pct"))
+        .drop("_b")
+    )
+
+
+@query(
+    "mix_weighted",
+    oracle=f"""
+WITH w AS (
+  SELECT source, 1 + ({_sql_hash60('source')} % 5) AS wt, COUNT(*) AS n_docs
+  FROM documents GROUP BY source),
+tot AS (SELECT SUM(wt) AS wt_sum, SUM(n_docs) AS n_total FROM w),
+quota AS (
+  SELECT source, wt, ((n_total // 2) * wt) // wt_sum AS n_quota
+  FROM w CROSS JOIN tot),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_sql_hash60("CAST(doc_id AS VARCHAR) || '|' || source")}, doc_id
+         ) AS rk
+  FROM documents)
+SELECT r.doc_id, r.source, CAST(q.wt AS BIGINT) AS wt,
+       CAST(q.n_quota AS BIGINT) AS n_quota
+FROM ranked r JOIN quota q USING (source)
+WHERE r.rk <= q.n_quota
+""",
+)
+def mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: every source gets an integer quota
+    ⌊budget·w/Σw⌋ (budget = half the corpus; weights from a hash of the
+    source name standing in for a mixing config), filled by the
+    deterministically lowest-priority-hash documents of that source.
+    All-integer quota arithmetic (DIV, never float division) so the cut
+    line is bit-exact. Scale shape: the quota table is a broadcast of one
+    row per source; the per-source ranking is the same single window
+    shuffle a top-k needs — no global sort, no driver loop. This is the
+    "sample each corpus at its mixing weight" step that turns raw crawls
+    plus curated sources into a training mix."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("wt", F.lit(1) + hash60(F.col("source")) % 5)
+    )
+    tot = w.agg(F.sum("wt").alias("wt_sum"), F.sum("n_docs").alias("n_total"))
+    quota = (
+        w.crossJoin(F.broadcast(tot))  # 1-row scalar totals
+        .withColumn("n_quota", F.expr("((n_total DIV 2) * wt) DIV wt_sum"))
+        .select("source", "wt", "n_quota")
+    )
+    pri = hash60(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("source")))
+    rk = F.row_number().over(Window.partitionBy("source").orderBy(pri, F.col("doc_id")))
+    return (
+        d.withColumn("rk", rk)
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("n_quota"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("wt").cast("long").alias("wt"),
+            F.col("n_quota").cast("long").alias("n_quota"),
+        )
+    )
+
+
+_PACK_BUDGET_TOKENS = 4096
+
+
+@query(
+    "seq_pack_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS toks FROM documents),
+c AS (
+  SELECT doc_id, source, toks,
+         COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM t)
+SELECT source, CAST(cum_prev // {_PACK_BUDGET_TOKENS} AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tok_sum,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY source, bin
+""",
+)
+def seq_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing by token budget: documents are laid out in a stable
+    order (doc_id within source) and assigned to the bin their *exclusive*
+    running token count falls in — bin = ⌊prefix_sum / {budget}⌋. Offset
+    binning is the shuffle-friendly packing used to build fixed-length
+    training sequences: one window + one aggregate, no sequential state, and
+    each bin overshoots the budget by at most one document. Scale shape: the
+    window partitions by source; a skewed mega-source shards further by a
+    doc_id range key, packing each shard independently (bin ids stay unique
+    via the shard prefix) — the semantics permit it because bins never span
+    the ordering key."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(_tokens()).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.select(
+        "doc_id",
+        "source",
+        toks.alias("toks"),
+        F.coalesce(F.sum(toks).over(w), F.lit(0)).alias("cum_prev"),
+    )
+    return (
+        c.withColumn("bin", F.expr(f"cum_prev DIV {_PACK_BUDGET_TOKENS}"))
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("tok_sum"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -102,3 +102,50 @@ def test_pairwise_block_sharding_bit_exact(spark, sf_dir):
     max_group = e.groupBy("label").count().agg(F.max("count")).collect()[0][0]
     if max_group > 16:
         assert len(sharded) == len(base)  # grid path exercised, same answer
+
+
+def test_corpus_assembly_properties(spark, sf_dir):
+    """Invariants of the corpus-assembly trio that the SQL oracle can't
+    express as a hash check: packing overshoot bound, quota exactness, and
+    per-stratum rate adherence."""
+    from pyspark.sql import functions as F
+
+    from t20_database_etl_pipeline_assignment_spark.operators.llm import (
+        _PACK_BUDGET_TOKENS,
+        mix_weighted,
+        sample_stratified,
+        seq_pack_budget,
+    )
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+
+    d = table(spark, sf_dir, "documents")
+
+    # seq_pack_budget: a bin overshoots the budget by at most one document,
+    # so tok_sum < budget + max single-doc token count; bins are dense 0..max
+    packs = seq_pack_budget(spark, sf_dir).toPandas()
+    max_doc = (
+        d.select(F.size(F.split("text", " ")).alias("t")).agg(F.max("t")).collect()[0][0]
+    )
+    assert (packs["tok_sum"] < _PACK_BUDGET_TOKENS + max_doc).all()
+    for _, grp in packs.groupby("source"):
+        bins = sorted(grp["bin"])
+        assert bins == list(range(len(bins)))  # dense, no gaps
+
+    # mix_weighted: every source delivers exactly its integer quota
+    mixed = mix_weighted(spark, sf_dir).toPandas()
+    got = mixed.groupby("source").size()
+    quota = mixed.groupby("source")["n_quota"].first()
+    assert (got == quota).all()
+
+    # sample_stratified: per-stratum achieved rate within a 4-sigma binomial
+    # bound of the target (hash-uniformity), and decisions are deterministic
+    samp = sample_stratified(spark, sf_dir)
+    n_by_lang = d.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    s_by_lang = samp.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    rates = samp.toPandas().groupby("lang")["rate_pct"].first()
+    for lang, target in rates.items():
+        n = n_by_lang[lang]
+        achieved = 100.0 * s_by_lang.get(lang, 0) / n
+        tol = 4.0 * 100.0 * (target / 100 * (1 - target / 100) / n) ** 0.5 + 1.0
+        assert abs(achieved - target) < tol, (lang, achieved, target, n)
+    assert samp.count() == sample_stratified(spark, sf_dir).count()

@@ -100,3 +100,26 @@ def test_salted_join_spreads_keys(spark, sf_dir):
     plan = plan_of(QUERIES["join_skew_salted"](spark, sf_dir))
     assert "salt" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_stratified_sample_is_pure_map(spark, sf_dir):
+    """Hash-mod sampling must stay a scan + filter + project: any Exchange
+    means the 100 TB sample pays a shuffle it doesn't need."""
+    plan = plan_of(QUERIES["sample_stratified"](spark, sf_dir), mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_mix_weighted_broadcasts_quota(spark, sf_dir):
+    """The per-source quota table (one row per source) must broadcast; the
+    only shuffle the documents side pays is the ranking window's."""
+    plan = plan_of(QUERIES["mix_weighted"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_seq_pack_single_shuffle_chain(spark, sf_dir):
+    """Offset binning = one window partition-by-source plus the final
+    aggregate; no join, no cartesian anywhere in the plan."""
+    plan = plan_of(QUERIES["seq_pack_budget"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan
