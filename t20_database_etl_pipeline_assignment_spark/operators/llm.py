@@ -1444,12 +1444,11 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     normalized = raw.select("doc_id", norm.alias("text"))
 
-    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(F.asc("doc_id"))
-    exact = (
-        normalized.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # survivor = lowest doc_id per normalized text — as a partial-aggregable
+    # groupBy (min), not a sort-window: no per-partition sort, map-side
+    # combine collapses duplicates before the shuffle (same formulation as
+    # the oracle's GROUP BY text).
+    exact = normalized.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
 
     sh = shingles(exact)
     sig = sh.groupBy("doc_id").agg(
@@ -1509,18 +1508,21 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc2").alias("doc_id"))
         .distinct()
     )
-    final = exact.join(drops, "doc_id", "left_anti")
-
+    # Stage counts without re-deriving the upstream stages: every drop id is
+    # an exact-survivor id (candidates pair exact docs), so
+    # n_near = n_exact - n_drops — the anti-join branch (which would
+    # recompute normalize+dedup+shingles a second time) never runs.
+    n_raw = raw.agg(F.count(F.lit(1)).alias("n"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n"))
+    n_drops = drops.agg(F.count(F.lit(1)).alias("n"))
     return (
-        raw.agg(F.count(F.lit(1)).alias("n_docs")).select(F.lit("0_raw").alias("stage"), "n_docs")
+        n_raw.select(F.lit("0_raw").alias("stage"), F.col("n").alias("n_docs"))
         .unionByName(
-            exact.agg(F.count(F.lit(1)).alias("n_docs")).select(
-                F.lit("1_exact").alias("stage"), "n_docs"
-            )
+            n_exact.select(F.lit("1_exact").alias("stage"), F.col("n").alias("n_docs"))
         )
         .unionByName(
-            final.agg(F.count(F.lit(1)).alias("n_docs")).select(
-                F.lit("2_near").alias("stage"), "n_docs"
+            n_exact.crossJoin(n_drops.select(F.col("n").alias("nd"))).select(
+                F.lit("2_near").alias("stage"), (F.col("n") - F.col("nd")).alias("n_docs")
             )
         )
     )
