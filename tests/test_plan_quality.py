@@ -123,3 +123,43 @@ def test_seq_pack_single_shuffle_chain(spark, sf_dir):
     plan = plan_of(QUERIES["seq_pack_budget"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "Join" not in plan, plan
+
+
+# Queries where BroadcastNestedLoopJoin is legitimate: a broadcast 1-row
+# scalar aggregate (watermark, corpus totals, quota denominators) or the
+# intentionally bounded cross join. Anything new showing a BNLJ must be
+# reviewed and listed here, or it fails the sweep.
+_BNLJ_ALLOWED = {
+    "incr_load_watermark",   # 1-row max-watermark broadcast
+    "stream_late_data",      # 1-row max-event-time broadcast
+    "funnel_conversion",     # 1-row step-total broadcast
+    "key_skew_profile",      # 1-row mean-count broadcast
+    "text_tfidf_topterms",   # 1-row corpus-size broadcast
+    "sim_cosine_topk",       # tiny query-set broadcast, no equi key
+    "sim_ann_ivf",           # 1-row centroid-count broadcast
+    "dedup_cascade",         # 1-row stage-count arithmetic
+    "mix_weighted",          # 1-row weight-sum/budget broadcast
+    "join_cross",            # the cross join operator itself (bounded dims)
+}
+_PY_ROW_ALLOWED = {"udf_python_scalar", "udtf_explode_custom"}  # §2.K escape hatches
+
+
+def test_plan_sweep_no_scale_antipatterns(spark, sf_dir):
+    """Whole-surface gate: EVERY registered query's physical plan is free of
+    unbounded cartesian products and row-at-a-time Python eval, and any
+    BroadcastNestedLoopJoin is on the reviewed scalar-broadcast allowlist.
+    This is the test that catches a future operator quietly regressing into
+    a driver-side or quadratic shape."""
+    offenders = {}
+    for qid, fn in QUERIES.items():
+        plan = plan_of(fn(spark, sf_dir))
+        marks = []
+        if "CartesianProduct" in plan:
+            marks.append("cartesian")
+        if "BatchEvalPython" in plan and qid not in _PY_ROW_ALLOWED:
+            marks.append("row_python_udf")
+        if "BroadcastNestedLoopJoin" in plan and qid not in _BNLJ_ALLOWED:
+            marks.append("bnlj_not_allowlisted")
+        if marks:
+            offenders[qid] = marks
+    assert not offenders, offenders
