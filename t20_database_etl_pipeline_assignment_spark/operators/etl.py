@@ -446,25 +446,32 @@ def q_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tax_max": F.col("l_tax") <= 0.06,
         "fk_part_exists": F.col("fk_part").isNotNull(),
     }
-    # ONE scan: each row emits its violated-rule labels, or 'valid' when
-    # clean; a broadcast outer join against the static rule list zero-fills
-    # rules nothing violated. (Previously: two scans — quarantine counts +
-    # valid count — for the same answer.)
-    reasons = F.array_compact(
-        F.array(*[F.when(~cond, F.lit(name)) for name, cond in rules.items()])
+    # ONE scan, ZERO shuffle: the whole rule set is a single global
+    # conditional-count aggregate (partial + final over one row), unpivoted
+    # to (rule, n) rows afterwards. No per-row label array, no explode, no
+    # groupBy exchange — at 100 TB this is a pure map-side reduce whose
+    # merge state is five counters. (Earlier shapes: two scans, then one
+    # scan + an exploded-label shuffle.)
+    valid_all = None
+    for cond in rules.values():
+        valid_all = cond if valid_all is None else (valid_all & cond)
+    row = li.agg(
+        *[
+            F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
+            for name, cond in rules.items()
+        ],
+        F.sum(F.when(valid_all, 1).otherwise(0)).cast("long").alias("valid"),
     )
-    labels = F.when(F.size(reasons) == 0, F.array(F.lit("valid"))).otherwise(reasons)
-    counts = (
-        li.select(F.explode(labels).alias("rule"))
-        .groupBy("rule")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    all_rules = spark.createDataFrame(
-        [(r,) for r in [*rules, "valid"]], "rule string"
-    )
-    return all_rules.join(counts, on="rule", how="left").select(
-        "rule", F.coalesce("n", F.lit(0).cast("long")).alias("n")
-    )
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(name).alias("rule"), F.col(name).alias("n"))
+                    for name in [*rules, "valid"]
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.rule", "kv.n")
 
 
 @query(

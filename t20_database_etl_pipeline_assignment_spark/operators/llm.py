@@ -388,8 +388,15 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
     # instead of md5+hex-parse per (doc, token) row — md5 is the expensive
     # expression here, and natural-language vocabularies are tiny relative
     # to the corpus (Heaps' law), so this trades ~|corpus| hash evals for
-    # ~|vocab| evals plus a broadcast hash join.
-    vocab = tok.select("w").distinct().withColumn("h60", hash60(F.col("w")))
+    # ~|vocab| evals plus a broadcast hash join. The vocabulary is derived
+    # straight from the token stream, NOT from `tok`: deduping on w alone
+    # shuffles only |vocab| rows after map-side combine, and doesn't
+    # recompute the (doc_id, w) aggregate a second time.
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .distinct()
+        .withColumn("h60", hash60(F.col("w")))
+    )
     tok = tok.join(F.broadcast(vocab), "w")
     votes = tok.groupBy("doc_id").agg(
         *[
