@@ -173,7 +173,11 @@ def scan_json_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         good
     )
     p.select(line.alias("value")).write.mode("overwrite").text(path)
-    schema = PART_SCHEMA.add("_corrupt_record", T.StringType())
+    # StructType.add mutates in place — build a fresh copy so repeated
+    # invocations in one process don't accumulate duplicate columns.
+    schema = T.StructType(
+        list(PART_SCHEMA.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
     parsed = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
