@@ -22,6 +22,7 @@ from .operators import (  # noqa: F401
     io_ops,
     llm,
     multimodal,
+    quality,
     relational,
     star,
     udfs,

@@ -1,0 +1,465 @@
+"""Corpus-quality / safety operators for the LLM training-data pipeline
+(SURVEY.md §2.L extension; reference README.md:10-13 "data cleansing and
+validation" generalized to the north-star corpus workload): repetition
+filtering (Gopher-style), PII redaction, benchmark-contamination detection,
+near-duplicate clustering via connected components, statistical anomaly
+flagging, and distribution-analysis windows.
+
+Scale design (100 TB):
+- Every per-document statistic is computed with JVM higher-order functions on
+  the token array — no explode, no shuffle, no Python.
+- Contamination joins the corpus against a *broadcast* benchmark n-gram set:
+  the benchmark side is small by construction (held-out eval suites), so the
+  100 TB corpus side never shuffles.
+- Connected components uses iterative min-label propagation: each round is
+  one shuffle on node id, rounds are bounded by the graph diameter (near-dup
+  components are shallow: clones of clones), and only a 1-row convergence
+  count ever reaches the driver.
+- Anomaly z-scores aggregate exact integer moments (see exprs.py) then
+  broadcast the tiny per-type stats back over the event stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import scaled_long, sql_scaled_long
+from ..registry import query
+from ..sources.tables import table
+
+
+# ---------------------------------------------------------------------------
+# Repetition filter (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_distinct(list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1]))) AS n_distinct_bigrams
+  FROM t
+)
+SELECT doc_id, n_tokens, n_distinct,
+       (n_tokens - n_distinct) / (1.0 * n_tokens) AS dup_token_frac,
+       (n_tokens - 1 - n_distinct_bigrams) / (1.0 * (n_tokens - 1)) AS dup_bigram_frac,
+       ((n_tokens - n_distinct) / (1.0 * n_tokens)) < 0.9 AS keep
+FROM s
+WHERE n_tokens > 1
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: fraction of duplicate tokens and
+    duplicate bigrams per document, plus a keep/drop flag. Everything is
+    array math on the token list (size / array_distinct / zip_with) — one
+    narrow map stage, no shuffle, no UDF; at 100 TB this runs at scan
+    speed."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    s = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    ).filter(F.col("n_tokens") > 1)
+    dup_tok = (F.col("n_tokens") - F.col("n_distinct")) / (1.0 * F.col("n_tokens"))
+    dup_big = (F.col("n_tokens") - 1 - F.col("n_distinct_bigrams")) / (
+        1.0 * (F.col("n_tokens") - 1)
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        dup_tok.alias("dup_token_frac"),
+        dup_big.alias("dup_bigram_frac"),
+        (dup_tok < 0.9).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_NUM_PAT = "[0-9]+"
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+SELECT event_id,
+       regexp_replace(regexp_replace(props, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                      '{_NUM_PAT}', '<NUM>', 'g') AS props_redacted,
+       len(regexp_extract_all(props, '{_NUM_PAT}')) AS n_num,
+       len(regexp_extract_all(props, '{_EMAIL_PAT}')) AS n_email
+FROM events
+WHERE len(regexp_extract_all(props, '{_NUM_PAT}'))
+      + len(regexp_extract_all(props, '{_EMAIL_PAT}')) > 0
+""",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub over a free-text/JSON column: mask email addresses
+    then numeric literals, and count redactions per record. JVM
+    regexp_replace/regexp_count only (codegen'd, no Python) — at 100 TB this
+    is a pure map stage that fuses into the scan. Redaction order matters
+    (emails first, else their digit runs are half-masked); both engines
+    apply the same order."""
+    e = table(spark, sf_dir, "events")
+    n_num = F.regexp_count("props", F.lit(_NUM_PAT))
+    n_email = F.regexp_count("props", F.lit(_EMAIL_PAT))
+    return (
+        e.select(
+            "event_id",
+            F.regexp_replace(
+                F.regexp_replace("props", _EMAIL_PAT, "<EMAIL>"), _NUM_PAT, "<NUM>"
+            ).alias("props_redacted"),
+            n_num.alias("n_num"),
+            n_email.alias("n_email"),
+        )
+        .filter(F.col("n_num") + F.col("n_email") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 5  # 5-gram overlap, the common contamination-audit choice
+
+
+@query(
+    "contamination_ngram",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - {_CONTAM_N - 2}),
+                               i -> array_to_string(toks[i:i+{_CONTAM_N - 1}], ' '))) AS gram
+  FROM t
+  WHERE len(toks) >= {_CONTAM_N}
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+),
+hits AS (
+  SELECT g.doc_id, COUNT(b.gram) AS n_hit, COUNT(*) AS n_grams
+  FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+  WHERE g.doc_id % 97 <> 0
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_hit,
+       n_hit / (1.0 * n_grams) AS contam_frac,
+       (n_hit / (1.0 * n_grams)) >= 0.5 AS contaminated
+FROM hits
+""",
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: fraction of each training document's
+    distinct 5-grams that appear in a held-out benchmark set (here the
+    doc_id % 97 == 0 slice stands in for an eval suite). The benchmark gram
+    set is broadcast — it is small by construction — so the corpus side is
+    a single narrow pass + local semi-join; no corpus-sized shuffle at
+    100 TB. Docs at or above 50% overlap are flagged for exclusion."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    parts = [
+        F.slice(toks, i + 1, F.size(toks) - _CONTAM_N + 1) for i in range(_CONTAM_N)
+    ]
+    grams5 = parts[0]
+    for p in parts[1:]:
+        grams5 = F.zip_with(grams5, p, lambda x, y: F.concat_ws(" ", x, y))
+    grams = (
+        d.filter(F.size(toks) >= _CONTAM_N)
+        .select("doc_id", F.explode(grams5).alias("gram"))
+        .distinct()
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    frac = F.col("n_hit") / (1.0 * F.col("n_grams"))
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        frac.alias("contam_frac"),
+        (frac >= 0.5).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering: connected components over the similarity graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cluster_connected_components",
+    oracle="""
+WITH RECURSIVE docs_in AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+),
+shing AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs_in)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT doc1, doc2 FROM inter
+  JOIN sizes sa ON doc1 = sa.doc_id
+  JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE i / (1.0 * (sa.sz + sb.sz - i)) >= 0.6),
+sym AS (
+  SELECT doc1 AS src, doc2 AS dst FROM edges
+  UNION ALL
+  SELECT doc2 AS src, doc1 AS dst FROM edges),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM docs_in
+  UNION
+  SELECT s.dst AS node, r.lbl
+  FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component
+FROM reach
+GROUP BY node
+""",
+)
+def cluster_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: connected components of the 3-gram-Jaccard
+    ≥ 0.6 similarity graph (corpus ∪ its clone, so every doc has at least
+    its clone edge), labeling each doc with the minimum doc_id reachable
+    from it — the canonical representative its group keeps.
+
+    Iterative min-label propagation: each round joins labels to the
+    symmetrized edge list and takes the neighborhood minimum; rounds are
+    bounded by component diameter (near-dup clusters are shallow), each
+    round is one shuffle on node id, and only a 1-row changed-count reaches
+    the driver. At 100 TB swap the fixed-point loop for the two-phase
+    large-star/small-star algorithm (same per-round plan, provably
+    O(log n) rounds); the per-round dataflow here is already that shape.
+    The oracle walks the same graph with a recursive CTE."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+
+    from .llm import shingles  # shared inverted-index shingle builder
+
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    edges = (
+        inter.join(sizes.alias("sa"), F.col("doc1") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc2") == F.col("sb.doc_id"))
+        .filter(
+            F.col("i") / (F.lit(1.0) * (F.col("sa.sz") + F.col("sb.sz") - F.col("i")))
+            >= 0.6
+        )
+        .select("doc1", "doc2")
+    )
+    sym = edges.select(
+        F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+    ).unionByName(edges.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+    sym = sym.localCheckpoint()  # truncate lineage: the edge list is reused every round
+
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
+    labels = labels.localCheckpoint()
+    for _ in range(20):  # diameter bound; near-dup graphs converge in a few rounds
+        nbr = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["node2"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))).alias("lbl"),
+                (F.coalesce("nbr_min", F.col("lbl")) < F.col("lbl")).alias("changed"),
+            )
+        )
+        new = new.localCheckpoint()  # keep the loop's lineage flat
+        n_changed = new.filter("changed").limit(1).count()  # 1-row driver check
+        labels = new.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# Statistical anomaly flagging (z-score outliers, exact integer moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "anomaly_zscore",
+    oracle=f"""
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM({sql_scaled_long("value", 100)}) AS sum_c,
+         SUM({sql_scaled_long("value", 100)} * {sql_scaled_long("value", 100)}) AS sumsq_c
+  FROM events
+  GROUP BY event_type
+),
+z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         (CAST({sql_scaled_long("e.value", 100)} AS DOUBLE)
+          - CAST(s.sum_c AS DOUBLE) / s.n)
+         / sqrt(CAST(s.sumsq_c AS DOUBLE) / s.n
+                - (CAST(s.sum_c AS DOUBLE) / s.n) * (CAST(s.sum_c AS DOUBLE) / s.n))
+         AS zr
+  FROM events e JOIN stats s ON e.event_type = s.event_type
+)
+SELECT event_id, event_type, value, round(zr, 6) AS zscore
+FROM z
+WHERE abs(zr) > 3.0
+""",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection: events whose value is more than 3 standard
+    deviations from their event_type mean. Moments are exact integer sums
+    (cents; see exprs.py) so both engines agree bit-for-bit regardless of
+    aggregation order; the per-type stats table is tiny and broadcast back
+    over the stream — one shuffle for the agg, none for the flagging scan.
+    """
+    e = table(spark, sf_dir, "events")
+    v_c = scaled_long(F.col("value"), 100)
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v_c).alias("sum_c"),
+        F.sum(v_c * v_c).alias("sumsq_c"),
+    )
+    mean_c = F.col("sum_c").cast("double") / F.col("n")
+    var_c = F.col("sumsq_c").cast("double") / F.col("n") - mean_c * mean_c
+    joined = e.join(F.broadcast(stats), "event_type")
+    z = (v_c.cast("double") - mean_c) / F.sqrt(var_c)
+    return (
+        joined.filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-analysis windows: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_ntile_cume",
+    oracle=f"""
+SELECT o_orderkey, o_orderpriority,
+       ntile(10) OVER w AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY {sql_scaled_long("o_totalprice", 100)}, o_orderkey)
+""",
+)
+def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing and percentile ranks per priority class — the
+    corpus-curation shape for quality-score stratification. Ordering is on
+    the exact integer cents plus the unique key, so peer groups are
+    single-row and both engines produce identical rational ranks."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        scaled_long(F.col("o_totalprice"), 100), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode aggregate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH counts AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_orderpriority
+),
+ranked AS (
+  SELECT c_mktsegment, o_orderpriority, n,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY n DESC, o_orderpriority ASC) AS rn
+  FROM counts
+)
+SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS mode_count
+FROM ranked WHERE rn = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group (most frequent order priority per market
+    segment; ties broken by priority string) — count + row_number over the
+    small counts table. The heavy groupBy is partial-aggregated map-side;
+    the window runs over |segments|×|priorities| rows only."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    counts = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""Semantic invariants for the corpus-quality operators (operators/quality.py).
+
+Oracle parity (tests/test_oracle_parity.py) already proves bit-equality with
+DuckDB; these tests pin the *meaning*: flags are consistent with their
+definitions, components are valid partitions of the similarity graph, and
+redaction is idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from t20_database_etl_pipeline_assignment_spark.registry import QUERIES
+
+
+def test_repetition_fractions_bounded(spark, sf_dir):
+    rows = QUERIES["text_repetition_filter"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_token_frac <= 1.0
+        assert 0.0 <= r.dup_bigram_frac <= 1.0
+        assert r.keep == (r.dup_token_frac < 0.9)
+        assert r.n_distinct <= r.n_tokens
+
+
+def test_pii_redact_removes_all_digits(spark, sf_dir):
+    df = QUERIES["pii_redact"](spark, sf_dir)
+    leftover = df.filter(F.col("props_redacted").rlike("[0-9]")).count()
+    assert leftover == 0
+    # idempotence: redacting already-redacted text changes nothing
+    again = df.select(
+        F.regexp_replace("props_redacted", "[0-9]+", "<NUM>").alias("twice"),
+        "props_redacted",
+    ).filter(F.col("twice") != F.col("props_redacted"))
+    assert again.count() == 0
+
+
+def test_contamination_benchmark_excluded_and_bounded(spark, sf_dir):
+    rows = QUERIES["contamination_ngram"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % 97 != 0  # benchmark docs are never audited
+        assert 0 <= r.n_hit <= r.n_grams
+        assert r.contaminated == (r.contam_frac >= 0.5)
+
+
+def test_connected_components_validity(spark, sf_dir):
+    """Every doc and its clone (doc_id + 1e6) share a component, the
+    component label is the minimum member id, and labels are members of
+    their own component."""
+    labels = QUERIES["cluster_connected_components"](spark, sf_dir)
+    pdf = labels.toPandas().set_index("doc_id")["component"]
+    n = len(pdf)
+    assert n % 2 == 0 and n > 0
+    for doc_id, comp in pdf.items():
+        if doc_id < 1000000:
+            assert pdf[doc_id + 1000000] == comp  # clone edge honored
+        assert comp <= doc_id  # label is a minimum
+        assert pdf[comp] == comp  # representative labels itself
+
+
+def test_anomaly_zscore_is_outlier_subset(spark, sf_dir):
+    rows = QUERIES["anomaly_zscore"](spark, sf_dir).collect()
+    assert rows  # fixture has heavy-tailed values
+    for r in rows:
+        assert abs(r.zscore) > 3.0
+
+
+def test_ntile_cume_shapes(spark, sf_dir):
+    df = QUERIES["win_ntile_cume"](spark, sf_dir)
+    agg = df.groupBy("o_orderpriority").agg(
+        F.min("decile").alias("lo"),
+        F.max("decile").alias("hi"),
+        F.max("cume").alias("cmax"),
+        F.min("pct_rank").alias("pmin"),
+    )
+    for r in agg.collect():
+        assert r.lo == 1 and r.hi == 10
+        assert r.cmax == 1.0
+        assert r.pmin == 0.0
+
+
+def test_mode_is_actual_maximum(spark, sf_dir):
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+
+    modes = {
+        r.c_mktsegment: (r.mode_priority, r.mode_count)
+        for r in QUERIES["agg_mode"](spark, sf_dir).collect()
+    }
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    counts = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    best: dict[str, int] = {}
+    for r in counts:
+        best[r.c_mktsegment] = max(best.get(r.c_mktsegment, 0), r.n)
+    assert set(modes) == set(best)
+    for seg, (_, n) in modes.items():
+        assert n == best[seg]
