@@ -25,6 +25,7 @@ from .operators import (  # noqa: F401
     quality,
     relational,
     star,
+    timeseries,
     udfs,
     windows,
 )

@@ -276,3 +276,43 @@ def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k_int"),
         F.concat_ws(",", F.map_keys(parsed)).alias("prop_keys"),
     )
+
+
+@query(
+    "fn_struct_nested",
+    oracle=f"""
+SELECT l_orderkey,
+       COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines,
+       l_linenumber,
+       CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c
+FROM lineitem
+""",
+)
+def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type round-trip: collect each order's lines into a sorted
+    array<struct>, then explode back out and access fields by dot path —
+    the pack/unpack surface that denormalized document schemas (one row
+    per order with nested lines) need. Lossless by construction; the
+    oracle is the flat relation plus a per-order line count proving the
+    array sizes survived. sort_array on the struct gives a canonical
+    element order, so the round-trip is deterministic under shuffle."""
+    from ..exprs import scaled_long
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        scaled_long(F.col("l_quantity"), 100).alias("qty_c"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct("l_linenumber", "qty_c"))).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.explode("lines").alias("ln"),
+    ).select(
+        "l_orderkey",
+        "n_lines",
+        F.col("ln.l_linenumber").alias("l_linenumber"),
+        F.col("ln.qty_c").alias("qty_c"),
+    )

@@ -1,0 +1,205 @@
+"""Time-series operators over the events stream (SURVEY.md §2.L extension;
+reference README.md:10 "analysis" / README.md:4 incremental event loads):
+tolerance-bounded as-of matching and fixed-interval resampling (OHLC bars).
+
+Scale design (100 TB):
+- The as-of join is NOT a join: both streams union into one ordered log and
+  a single running `last(ignorenulls)` window per user recovers the latest
+  prior match — one shuffle on user_id, no range fan-out, no per-row probe.
+  This is the formulation that survives arbitrarily long histories.
+- Resampling buckets by integer floor-division of epoch microseconds (exact
+  in both engines), aggregates with one partial-agg shuffle, and picks
+  open/close deterministically via composite-ordered row_number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import money_sum, scaled_long, sql_money_sum, sql_scaled_long
+from ..registry import query
+from ..sources.tables import table
+
+_TOL_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+m AS (
+  SELECT user_id, event_id, us, kind,
+         last_value(click_id IGNORE NULLS) OVER w AS last_click_id,
+         last_value(click_us IGNORE NULLS) OVER w AS last_click_us
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CASE WHEN us - last_click_us <= {_TOL_US} THEN last_click_id END AS click_id,
+       CASE WHEN us - last_click_us <= {_TOL_US} THEN us - last_click_us END AS gap_us
+FROM m
+WHERE kind = 1
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of match with tolerance: each purchase is attributed to the same
+    user's latest prior (or simultaneous) click, but only within 1 hour —
+    otherwise unmatched (NULL). Implemented as a union + running
+    `last(ignorenulls)` window instead of a range join: one shuffle on
+    user_id, cost independent of history length, no candidate fan-out —
+    the as-of formulation that scales to 100 TB event logs. Ordering is
+    (us, kind, event_id) so clicks sort before purchases at equal
+    timestamps and duplicate timestamps break ties deterministically."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_click = F.col("event_type") == "click"
+    u = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(is_click, 0).otherwise(1).alias("kind"),
+        F.when(is_click, F.col("event_id")).alias("click_id"),
+        F.when(is_click, F.unix_micros("ts")).alias("click_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = u.select(
+        "user_id",
+        "event_id",
+        "us",
+        "kind",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last("click_us", ignorenulls=True).over(w).alias("last_click_us"),
+    )
+    within = (F.col("us") - F.col("last_click_us")) <= _TOL_US
+    return m.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("last_click_id")).alias("click_id"),
+        F.when(within, F.col("us") - F.col("last_click_us")).alias("gap_us"),
+    )
+
+
+_BUCKET_US = 21_600_000_000  # 6 hours
+
+
+@query(
+    "resample_time_bucket",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, event_id, value, epoch_us(ts) AS us,
+         epoch_us(ts) // {_BUCKET_US} AS bucket
+  FROM events
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY us ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type,
+       CAST(to_timestamp((bucket * {_BUCKET_US}) / 1000000) AS TIMESTAMP) AS bucket_start,
+       COUNT(*) AS n_events,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       {sql_money_sum("value")} AS sum_value
+FROM r
+GROUP BY event_type, bucket
+""",
+)
+def resample_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-interval resampling: 6-hour OHLC-style bars per event type
+    (open/high/low/close/sum/count). Buckets come from exact integer
+    floor-division of epoch microseconds; open/close are picked by
+    composite-ordered row_number (us, event_id) so duplicate timestamps
+    resolve identically in both engines; the money sum is exact-integer.
+    One window + one partial-agg shuffle on (event_type, bucket) — at
+    100 TB the bucket key is also the natural write-partitioning, so this
+    pipeline runs shuffle-co-located end to end."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.expr(f"unix_micros(ts) div {_BUCKET_US}").alias("bucket"),
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy(
+        F.asc("us"), F.asc("event_id")
+    )
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    r = e.select(
+        "*",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
+        money_sum(F.col("value")).alias("sum_value"),
+    ).select(
+        "event_type",
+        F.timestamp_micros(F.col("bucket") * _BUCKET_US).alias("bucket_start"),
+        "n_events",
+        "open_value",
+        "high_value",
+        "low_value",
+        "close_value",
+        "sum_value",
+    )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+counts AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word),
+total AS (SELECT SUM(n) AS t FROM counts)
+SELECT word, n, n / (1.0 * t) AS frac
+FROM counts, total
+WHERE n >= 0.02 * t
+""",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: tokens accounting for ≥ 2% of all token occurrences.
+    Token counts partial-aggregate map-side (one shuffle over the distinct
+    vocabulary, not the corpus); the grand total is a 1-row scalar
+    broadcast back over the counts. This threshold-based formulation is the
+    deterministic face of frequent-items sketches: at 100 TB the counts
+    table is the same dataflow a count-min/space-saving candidate pass
+    produces, with an exact recount of candidates — output identical."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= 0.02 * F.col("t"))
+        .select("word", "n", (F.col("n") / (1.0 * F.col("t"))).alias("frac"))
+    )

@@ -138,6 +138,7 @@ _BNLJ_ALLOWED = {
     "sim_cosine_topk",       # tiny query-set broadcast, no equi key
     "sim_ann_ivf",           # 1-row centroid-count broadcast
     "dedup_cascade",         # 1-row stage-count arithmetic
+    "agg_heavy_hitters",     # 1-row grand-total broadcast
     "mix_weighted",          # 1-row weight-sum/budget broadcast
     "join_cross",            # the cross join operator itself (bounded dims)
 }
