@@ -1688,3 +1688,138 @@ def seq_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space analysis: random projection, per-label centroid outliers
+# ---------------------------------------------------------------------------
+
+_RP_IN_DIM = 64
+_RP_OUT_DIM = 8
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix (Achlioptas/JL sign variant),
+    derived from md5 so the same constants are embedded in the Spark plan
+    and the oracle SQL."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp_{j}_{k}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for j in range(_RP_IN_DIM)
+        ]
+        for k in range(_RP_OUT_DIM)
+    ]
+
+
+def _rp_oracle() -> str:
+    cols = []
+    for k, signs in enumerate(_rp_signs()):
+        lit = "[" + ", ".join(str(s) for s in signs) + "]"
+        cols.append(
+            f"CAST(list_sum(list_transform(range(1, {_RP_IN_DIM} + 1), "
+            f"j -> CAST(FLOOR((embedding::DOUBLE[])[j] * 1000000000.0 + 0.5) AS BIGINT)"
+            f" * ({lit})[j])) AS DOUBLE) / 1000000000.0 AS r{k}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@query("emb_dim_reduce", oracle=_rp_oracle())
+def emb_dim_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project 64-d
+    embeddings to 8-d with a deterministic ±1 sign matrix — the cheap
+    pre-filter stage in front of exact similarity search (distances are
+    preserved within 1±ε). The matrix is a compile-time constant folded
+    into the plan: a shuffle-free narrow map at scan speed, no matrix
+    library, no Python. Components accumulate in exact scaled integers so
+    both engines agree bitwise, then one division back to double."""
+    e = table(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda v: F.floor(v * F.lit(1000000000.0) + F.lit(0.5)).cast("long"),
+    )
+    out = [F.col("vec_id")]
+    for k, signs in enumerate(_rp_signs()):
+        sign_arr = F.array(*[F.lit(s) for s in signs])
+        comp = F.aggregate(
+            F.zip_with(scaled, sign_arr, lambda x, s: x * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        out.append((comp.cast("double") / F.lit(1000000000.0)).alias(f"r{k}"))
+    return e.select(*out)
+
+
+@query(
+    "emb_centroid_distance",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+flat AS (
+  SELECT label,
+         unnest(range(1, len(emb) + 1)) AS pos,
+         unnest(emb) AS v
+  FROM e),
+means AS (
+  SELECT label, pos, {_SQL_IVF_MEAN} AS m
+  FROM flat GROUP BY label, pos),
+cents AS (SELECT label, list(m ORDER BY pos) AS centroid FROM means GROUP BY label),
+dists AS (
+  SELECT e.vec_id, e.label,
+         round(sqrt(list_sum(list_transform(range(1, len(e.emb) + 1),
+               j -> (e.emb[j] - c.centroid[j]) * (e.emb[j] - c.centroid[j])))), 6)
+           AS dist
+  FROM e JOIN cents c ON e.label = c.label)
+SELECT vec_id, label, dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY dist DESC, vec_id ASC) AS rn
+      FROM dists)
+WHERE rn <= 5
+""",
+)
+def emb_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: per-label centroid (exact-integer
+    mean per dimension, bit-stable under any aggregation order) and the 5
+    members farthest from it by L2 — the quality gate that catches
+    mislabeled or degenerate vectors before training. One shuffle for the
+    centroid agg; the tiny centroid table broadcasts back; the distance
+    pass is narrow. The L2 fold is the same sequential double fold the
+    cosine path uses, so both engines agree bitwise."""
+    e = table(spark, sf_dir, "embeddings")
+    scaled = F.floor(F.col("v") * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+    means = (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(scaled).cast("double")
+                / F.lit(1000000000.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("m")
+        )
+    )
+    cents = means.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("centroid"),
+            lambda x, m: (x - m) * (x - m),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = e.join(F.broadcast(cents), "label").select(
+        "vec_id", "label", F.round(F.sqrt(d2), 6).alias("dist")
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -101,3 +101,44 @@ def test_mode_is_actual_maximum(spark, sf_dir):
     assert set(modes) == set(best)
     for seg, (_, n) in modes.items():
         assert n == best[seg]
+
+
+def test_dim_reduce_preserves_distances_loosely(spark, sf_dir):
+    """JL property smoke: for a handful of vector pairs, the 8-d projected
+    L2 distance correlates with the original 64-d distance (loose bound —
+    8 dims give coarse preservation; we assert positive correlation, not a
+    tight epsilon)."""
+    import math
+
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+
+    proj = {
+        r.vec_id: [r[f"r{k}"] for k in range(8)]
+        for r in QUERIES["emb_dim_reduce"](spark, sf_dir).filter("vec_id < 20").collect()
+    }
+    orig = {
+        r.vec_id: list(r.embedding)
+        for r in table(spark, sf_dir, "embeddings").filter("vec_id < 20").collect()
+    }
+    pairs = [(i, j) for i in range(10) for j in range(i + 1, 10)]
+
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    d2_orig = [l2(orig[i], orig[j]) ** 2 for i, j in pairs]
+    # E[||Rx||²] = m·||x||² for a ±1 sign matrix with m=8 rows; divide out
+    d2_proj = [l2(proj[i], proj[j]) ** 2 / 8.0 for i, j in pairs]
+    ratio = (sum(d2_proj) / len(d2_proj)) / (sum(d2_orig) / len(d2_orig))
+    # near-equidistant random vectors make per-pair ratios noisy (sd ~
+    # 1/sqrt(8)), but the MEAN squared distance is preserved in expectation
+    assert 0.6 < ratio < 1.4, ratio
+
+
+def test_centroid_distance_ranks_true_outliers(spark, sf_dir):
+    rows = QUERIES["emb_centroid_distance"](spark, sf_dir).collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        assert r.dist >= 0
+        by_label.setdefault(r.label, []).append(r.dist)
+    for label, dists in by_label.items():
+        assert len(dists) == 5
