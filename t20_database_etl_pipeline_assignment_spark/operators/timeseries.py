@@ -62,14 +62,24 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
+    return asof_attribute(
+        e.select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")),
+        tol_us=_TOL_US,
+    )
+
+
+def asof_attribute(e: DataFrame, tol_us: int = _TOL_US) -> DataFrame:
+    """The as-of kernel: input (user_id, event_id, event_type, us); output
+    one row per purchase with its attributed click (or NULLs). Separated
+    from the fixture scan so tests can model-check it on generated data."""
     is_click = F.col("event_type") == "click"
     u = e.select(
         "user_id",
         "event_id",
-        F.unix_micros("ts").alias("us"),
+        "us",
         F.when(is_click, 0).otherwise(1).alias("kind"),
         F.when(is_click, F.col("event_id")).alias("click_id"),
-        F.when(is_click, F.unix_micros("ts")).alias("click_us"),
+        F.when(is_click, F.col("us")).alias("click_us"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -84,7 +94,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
         F.last("click_us", ignorenulls=True).over(w).alias("last_click_us"),
     )
-    within = (F.col("us") - F.col("last_click_us")) <= _TOL_US
+    within = (F.col("us") - F.col("last_click_us")) <= tol_us
     return m.filter(F.col("kind") == 1).select(
         "event_id",
         "user_id",

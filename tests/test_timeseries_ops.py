@@ -70,3 +70,66 @@ def test_struct_nested_is_lossless(spark, sf_dir):
     true_counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("tc"))
     bad = out.join(true_counts, "l_orderkey").filter(F.col("n_lines") != F.col("tc"))
     assert bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Property-based model check of the as-of kernel
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from t20_database_etl_pipeline_assignment_spark.operators.timeseries import (  # noqa: E402
+    asof_attribute,
+)
+
+# us values stride 1.2e12 µs (20 min), so gaps of 0-3 steps sit inside the
+# 1h tolerance, 3 steps hit it exactly (<= boundary), 4+ fall outside —
+# plus duplicate timestamps to exercise the (us, kind, event_id) tie-break.
+_STRIDE = 1_200_000_000_000
+event_st = st.tuples(
+    st.integers(min_value=1, max_value=2),          # user_id
+    st.sampled_from(["click", "purchase"]),         # event_type
+    st.integers(min_value=0, max_value=6),          # us step
+)
+events_st = st.lists(event_st, min_size=1, max_size=12)
+
+
+def _model(rows, tol_us):
+    """O(n²) reference: latest prior-or-simultaneous click per purchase,
+    ties broken by larger event_id, tolerance applied after selection."""
+    out = {}
+    for eid, (user, kind, us) in enumerate(rows):
+        if kind != "purchase":
+            continue
+        cands = [
+            (c_us, c_eid)
+            for c_eid, (c_user, c_kind, c_us) in enumerate(rows)
+            if c_kind == "click" and c_user == user and c_us <= us
+        ]
+        if not cands:
+            out[eid] = (None, None)
+            continue
+        c_us, c_eid = max(cands)
+        gap = us - c_us
+        out[eid] = (c_eid, gap) if gap <= tol_us else (None, None)
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(raw=events_st)
+def test_asof_kernel_agrees_with_model(spark, raw):
+    tol = 3_600_000_000_000  # 1h in µs... intentionally == 3 strides
+    rows = [(user, kind, step * _STRIDE) for user, kind, step in raw]
+    df = spark.createDataFrame(
+        [
+            (user, eid, kind, us)
+            for eid, (user, kind, us) in enumerate(rows)
+        ],
+        "user_id long, event_id long, event_type string, us long",
+    )
+    got = {
+        r.event_id: (r.click_id, r.gap_us)
+        for r in asof_attribute(df, tol_us=tol).collect()
+    }
+    assert got == _model(rows, tol)
