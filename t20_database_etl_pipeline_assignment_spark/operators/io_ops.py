@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..exprs import money_sum, sql_money_sum
+from ..exprs import money_sum, scaled_long, sql_money_sum
 from ..registry import query
 from ..sources.tables import table
 
@@ -333,4 +333,82 @@ def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("N_NATIONKEY").cast("int").alias("n_nationkey"),
         F.col("N_NAME").cast("string").alias("n_name"),
         F.col("N_REGIONKEY").cast("int").alias("n_regionkey"),
+    )
+
+
+@query(
+    "scan_parquet_schema_evolution",
+    oracle="""
+SELECT p_brand,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN p_size <= 25 THEN p_retailprice END) AS n_with_price,
+       CAST(SUM(CASE WHEN p_size <= 25
+                     THEN CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) END)
+            AS BIGINT) AS price_cents
+FROM part
+GROUP BY p_brand
+""",
+)
+def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (reference README.md:10 "multiple sources",
+    12 "error handling"): an early batch wrote (p_partkey, p_name, p_brand),
+    a later batch added p_retailprice; `mergeSchema` unions the schemas and
+    back-fills NULL for pre-evolution rows. The aggregate proves every row
+    survived and the new column is populated exactly on the rows that
+    carried it. At 100 TB keep mergeSchema OFF for steady-state scans (it
+    reads every footer) and evolve via table-level metadata instead —
+    documented here because this operator is the migration-day path."""
+    path = _tmp(sf_dir, "schema_evo")
+    p = table(spark, sf_dir, "part")
+    old = p.filter(F.col("p_size") > 25).select("p_partkey", "p_name", "p_brand")
+    new = p.filter(F.col("p_size") <= 25).select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    old.write.mode("overwrite").parquet(path + "/batch=1")
+    new.write.mode("overwrite").parquet(path + "/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("p_retailprice").alias("n_with_price"),
+        F.sum(scaled_long(F.col("p_retailprice"), 100)).alias("price_cents"),
+    )
+
+
+@query(
+    "sink_overwrite_dynamic_partition",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {sql_money_sum("CASE WHEN l_returnflag = 'A' THEN l_quantity + 1 ELSE l_quantity END")} AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sink_overwrite_dynamic_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill sink
+    (reference README.md:4,8 incremental loads + partitioning): a full load
+    lays down all l_returnflag partitions, then a corrected 'A' batch
+    overwrites ONLY its own partition (partitionOverwriteMode=dynamic);
+    untouched partitions must survive byte-for-byte. This is how a 100 TB
+    pipeline re-runs one bad day without rewriting the table; the readback
+    aggregate proves exactly the A rows changed."""
+    path = _tmp(sf_dir, "dyn_overwrite")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    fixed = (
+        li.filter(F.col("l_returnflag") == "A")
+        .withColumn("l_quantity", F.col("l_quantity") + 1)
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
     )

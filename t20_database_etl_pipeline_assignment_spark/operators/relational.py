@@ -622,3 +622,31 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     evens = c.filter(F.col("c_custkey") % 2 == 0).select("c_nationkey")
     fours = c.filter(F.col("c_custkey") % 4 == 0).select("c_nationkey")
     return evens.exceptAll(fours)
+
+
+@query(
+    "reshape_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS val
+FROM lineitem
+""",
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (`unpivot`/melt — the inverse of agg_pivot): three
+    measure columns become (measure, val) rows keyed by the line id. Narrow
+    map-only plan (each input row emits 3 output rows, no shuffle); the
+    long format is what generic quality-profiling and metric-sink stages
+    consume. Oracle is the equivalent UNION ALL."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
