@@ -605,3 +605,62 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@query(
+    "rollup_incremental_merge",
+    oracle="""
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT event_type,
+       COUNT(*) + COUNT(CASE WHEN event_id % 101 = 0 THEN 1 END) AS n_events,
+       (SUM(cents) + SUM(CASE WHEN event_id % 101 = 0 THEN cents ELSE 0 END))
+         / 100.0 AS sum_value
+FROM c
+GROUP BY event_type
+""",
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance (the hypertable/continuous-aggregate
+    pattern): a stored daily pre-aggregate table absorbs a late-arriving
+    delta batch by AGGREGATING AGGREGATES — counts add, exact integer sums
+    add — then answers the per-type query from the merged rollup, never
+    rescanning the raw events. This mergeability is why the rollup exists:
+    at 100 TB the raw log is append-only and petabyte-sized, while the
+    daily table is millions of rows; late data re-aggregates one day, not
+    the world. The delta here is the event_id % 101 slice replayed as if
+    it arrived late, so the oracle counts those rows twice."""
+    import os
+    import tempfile
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        scaled_long(F.col("value"), 100).alias("cents"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("cents"),
+    )
+    token = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    store = os.path.join(tempfile.gettempdir(), f"t20_rollup_{token}")
+    daily.write.mode("overwrite").parquet(store)  # the stored rollup table
+
+    delta = (
+        e.filter(F.col("event_id") % 101 == 0)
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    merged = (
+        spark.read.parquet(store)
+        .unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        (F.sum("cents") / F.lit(100.0)).alias("sum_value"),
+    )

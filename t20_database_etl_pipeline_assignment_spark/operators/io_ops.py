@@ -412,3 +412,46 @@ def sink_overwrite_dynamic_partition(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_rows"),
         money_sum(F.col("l_quantity")).alias("sum_qty"),
     )
+
+
+@query(
+    "scan_jdbc_partitioned",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_money_sum("o_totalprice")} AS total
+FROM orders WHERE o_orderkey < 2000
+GROUP BY o_orderstatus
+""",
+)
+def scan_jdbc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel JDBC ingest: read the RDBMS through N range-partitioned
+    queries (partitionColumn/lowerBound/upperBound/numPartitions) instead
+    of one connection — the only way a JDBC extract scales. Each of the 4
+    mappers issues its own bounded SELECT; the aggregate proves the range
+    split covered every row exactly once (no seam gaps/overlaps at the
+    bounds). At 100 TB-adjacent scale the cap is the RDBMS: size
+    numPartitions to what the source can serve, never one-per-executor."""
+    db = _tmp(sf_dir, "derby_scan")
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    opts = {"url": url, "driver": driver, "dbtable": "ORDERS_SRC"}
+    src = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    marker = os.path.join(db, "service.properties")
+    if not os.path.exists(marker):  # seed the source RDBMS once per fixture
+        src.write.format("jdbc").options(**opts).mode("overwrite").save()
+    back = (
+        spark.read.format("jdbc")
+        .options(**opts)
+        .option("partitionColumn", "O_ORDERKEY")
+        .option("lowerBound", "0")
+        .option("upperBound", "2000")
+        .option("numPartitions", "4")
+        .load()
+    )
+    return back.groupBy(
+        F.col("O_ORDERSTATUS").cast("string").alias("o_orderstatus")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("O_TOTALPRICE").cast("double")).alias("total"),
+    )
