@@ -109,3 +109,55 @@ def sql_flagship_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Entry-point wrapper used by the driver smoke check."""
     return join_multiway_star(spark, sf_dir)
+
+
+@query(
+    "sql_unshipped_revenue_topk",
+    oracle="""
+SELECT o_orderkey, o_orderdate,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * CAST(10000 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT))
+         / CAST(10000 AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def sql_unshipped_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped composite ("shipping priority"): highest-revenue
+    orders taken before a date whose goods shipped after it — a selective
+    dim filter, a fact⋈fact join, an aggregate, and a global top-k, all in
+    one SQL text. The plan this must produce at 100 TB: c_mktsegment and
+    the date predicates pushed into all three scans, customer broadcast,
+    revenue partial-aggregated before the shuffle, and the final top-10 via
+    TakeOrderedAndProject (per-partition heaps), never a global sort.
+    Ordering carries (revenue, o_orderdate, o_orderkey) so ties are
+    deterministic cross-engine."""
+    for t in ("lineitem", "orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(v_customer) */
+          o_orderkey, o_orderdate,
+          SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * CAST(10000 AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            / CAST(10000 AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM v_lineitem
+        JOIN v_orders   ON l_orderkey = o_orderkey
+        JOIN v_customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+        LIMIT 10
+        """
+    )

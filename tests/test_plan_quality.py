@@ -164,3 +164,16 @@ def test_plan_sweep_no_scale_antipatterns(spark, sf_dir):
         if marks:
             offenders[qid] = marks
     assert not offenders, offenders
+
+
+def test_q3_composite_plan_shape(spark, sf_dir):
+    """The Q3-shaped composite must broadcast customer, push both date
+    predicates and the segment filter into the scans, and take the global
+    top-10 with per-partition heaps (TakeOrderedAndProject), not a global
+    sort."""
+    plan = plan_of(QUERIES["sql_unshipped_revenue_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, plan
+    assert "GreaterThan(l_shipdate," in plan, plan
+    assert "LessThan(o_orderdate," in plan, plan
