@@ -213,3 +213,66 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 0.02 * F.col("t"))
         .select("word", "n", (F.col("n") / (1.0 * F.col("t"))).alias("frac"))
     )
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id),
+ret AS (
+  SELECT c.cohort_week,
+         (epoch_us(a.week) - epoch_us(c.cohort_week)) // {_WEEK_US} AS week_offset,
+         COUNT(DISTINCT a.user_id) AS n_users
+  FROM act a JOIN cohort c ON a.user_id = c.user_id
+  GROUP BY 1, 2),
+base AS (
+  SELECT cohort_week, n_users AS cohort_size FROM ret WHERE week_offset = 0)
+SELECT r.cohort_week, r.week_offset, r.n_users,
+       r.n_users / (1.0 * b.cohort_size) AS retention
+FROM ret r JOIN base b ON r.cohort_week = b.cohort_week
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week, then
+    the fraction still active N weeks later — the canonical engagement
+    analytic. Dataflow is user-keyed end to end: distinct (user, week) and
+    the per-user cohort both shuffle on user_id (co-located join), the
+    retention aggregate shuffles on the tiny (cohort, offset) key, and
+    cohort sizes broadcast back for the ratio. No window functions, no
+    self-join of the event log — at 100 TB the only big shuffle is the
+    initial distinct."""
+    e = table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    ret = (
+        act.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (
+                (F.unix_micros("week") - F.unix_micros("cohort_week"))
+                / F.lit(_WEEK_US)
+            ).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    base = ret.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return ret.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        (F.col("n_users") / (1.0 * F.col("cohort_size"))).alias("retention"),
+    )

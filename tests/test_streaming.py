@@ -5,6 +5,7 @@ formulation the oracle checks."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from t20_database_etl_pipeline_assignment_spark.exprs import scaled_long
@@ -183,3 +184,67 @@ def test_stateful_user_totals_parity(spark, sf_dir):
     )
     cols = ["user_id", "n_events", "total_value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_foreachbatch_upsert_serving_store(spark, sf_dir, tmp_path):
+    """The streaming-CDC-serving pattern: a bounded stream of events drains
+    through foreachBatch, each micro-batch MERGE-upserting the latest value
+    per user into a Parquet serving store. After availableNow finishes, the
+    store must hold exactly the batch-computed latest event per user —
+    stream+merge and batch agree. (With a transactional table format the
+    foreachBatch body becomes MERGE INTO; the merge kernel is the same.)"""
+    import os
+
+    from t20_database_etl_pipeline_assignment_spark.operators.etl import merge_upsert
+
+    store = str(tmp_path / "serving")
+
+    def upsert_batch(batch_df, batch_id):
+        latest = (
+            batch_df.withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.desc("us"), F.desc("event_id")
+                    )
+                ),
+            )
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+        if os.path.exists(os.path.join(store, "_SUCCESS")):
+            target = batch_df.sparkSession.read.parquet(store)
+            merged = merge_upsert(target, latest, ["user_id"])
+        else:
+            merged = latest
+        merged.write.mode("overwrite").parquet(store + ".tmp")
+        out = batch_df.sparkSession.read.parquet(store + ".tmp")
+        out.write.mode("overwrite").parquet(store)
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = _rows(spark.read.parquet(store), ["user_id", "event_id"])
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+
+    batch = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("_r") == 1)
+    )
+    want = _rows(batch, ["user_id", "event_id"])
+    assert got == want
