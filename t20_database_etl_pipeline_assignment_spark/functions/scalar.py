@@ -316,3 +316,36 @@ def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ln.l_linenumber").alias("l_linenumber"),
         F.col("ln.qty_c").alias("qty_c"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 65535) AS xored,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount,
+       o_orderkey << 2 AS shifted_l,
+       o_orderkey >> 3 AS shifted_r
+FROM orders
+WHERE o_orderkey < 5000
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family (&, |, xor, popcount, shifts) — the bit-level
+    toolkit behind bloom filters, bitmap indexes, and the SimHash/banding
+    machinery elsewhere in this engine. Pure codegen'd projections; integer
+    semantics agree across engines (Spark bit_count returns INT, DuckDB
+    BIGINT — cast pinned here)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(65535)).alias("xored"),
+        F.bit_count(k).alias("popcount"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+    )

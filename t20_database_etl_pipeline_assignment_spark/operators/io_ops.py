@@ -455,3 +455,37 @@ def scan_jdbc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money_sum(F.col("O_TOTALPRICE").cast("double")).alias("total"),
     )
+
+
+@query(
+    "sink_compact_small_files",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       {sql_money_sum("l_extendedprice")} AS total_price
+FROM lineitem
+""",
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every long-lived
+    100 TB lake needs: a fragmented landing zone (here: one file per
+    l_linenumber value via artificial repartitioning) is rewritten into a
+    handful of right-sized files with a single `repartition(4)` pass, and
+    the readback aggregate proves compaction is lossless. At scale the
+    target file count is data_size / ~512 MB, driven by a file-size audit,
+    and runs per partition so only fragmented partitions rewrite. Small
+    files are a real scale-killer: footer/open overhead per task and
+    scheduler pressure grow with file count, not bytes."""
+    frag = _tmp(sf_dir, "fragmented")
+    compact = _tmp(sf_dir, "compacted")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    li.repartition("l_linenumber", "l_orderkey").write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        money_sum(F.col("l_extendedprice")).alias("total_price"),
+    )
