@@ -143,26 +143,31 @@ _BNLJ_ALLOWED = {
     "join_cross",            # the cross join operator itself (bounded dims)
 }
 _PY_ROW_ALLOWED = {"udf_python_scalar", "udtf_explode_custom"}  # §2.K escape hatches
+# Queries allowed an unbounded global sort (none expected; review any addition)
+_GLOBAL_SORT_ALLOWED: set[str] = set()
 
 
 def test_plan_sweep_no_scale_antipatterns(spark, sf_dir):
-    """Whole-surface gate: EVERY registered query's physical plan is free of
-    unbounded cartesian products and row-at-a-time Python eval, and any
-    BroadcastNestedLoopJoin is on the reviewed scalar-broadcast allowlist.
-    This is the test that catches a future operator quietly regressing into
-    a driver-side or quadratic shape."""
+    """Whole-surface gate: EVERY registered query's physical plan passes the
+    plan linter (plans/lint.py) — no unbounded cartesian products, no
+    row-at-a-time Python eval, no unbounded single-task global sorts, and
+    any BroadcastNestedLoopJoin is on the reviewed scalar-broadcast
+    allowlist. This is the test that catches a future operator quietly
+    regressing into a driver-side or quadratic shape."""
+    from t20_database_etl_pipeline_assignment_spark.plans.lint import lint
+
     offenders = {}
     for qid, fn in QUERIES.items():
-        plan = plan_of(fn(spark, sf_dir))
-        marks = []
-        if "CartesianProduct" in plan:
-            marks.append("cartesian")
-        if "BatchEvalPython" in plan and qid not in _PY_ROW_ALLOWED:
-            marks.append("row_python_udf")
-        if "BroadcastNestedLoopJoin" in plan and qid not in _BNLJ_ALLOWED:
-            marks.append("bnlj_not_allowlisted")
-        if marks:
-            offenders[qid] = marks
+        allow = set()
+        if qid in _BNLJ_ALLOWED:
+            allow.add("bnlj")
+        if qid in _PY_ROW_ALLOWED:
+            allow.add("row_python")
+        if qid in _GLOBAL_SORT_ALLOWED:
+            allow.add("global_sort")
+        findings = lint(fn(spark, sf_dir), allow=allow)
+        if findings:
+            offenders[qid] = [code for code, _ in findings]
     assert not offenders, offenders
 
 
