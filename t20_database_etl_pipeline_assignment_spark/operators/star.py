@@ -161,3 +161,114 @@ def sql_unshipped_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+@query(
+    "sql_exists_subquery",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 1000)
+""",
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries — the SQL surface Catalyst
+    rewrites into left-semi and left-anti joins (never a per-row probe):
+    customers holding at least one 400k+ order and no sub-1k order. The
+    physical plan is two hash joins over one orders scan pair — exactly
+    what a hand-written semi/anti DSL chain produces, proving subquery
+    users get the scale plan for free."""
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM v_orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 1000)
+        """
+    )
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle="""
+WITH RECURSIVE emp AS (
+  SELECT c_custkey AS id, c_custkey // 4 AS parent
+  FROM customer WHERE c_custkey BETWEEN 1 AND 100),
+walk(id, depth, root) AS (
+  SELECT id, 0 AS depth, id AS root FROM emp WHERE parent = 0
+  UNION ALL
+  SELECT e.id, w.depth + 1, w.root
+  FROM emp e JOIN walk w ON e.parent = w.id
+)
+SELECT id, depth, root FROM walk
+""",
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk a synthetic org
+    hierarchy (id → parent = id div 4) from the roots down, labeling every
+    node with its depth and root — the org-chart / BOM traversal shape.
+    Each recursion step is one co-partitioned join; Spark executes the
+    fixpoint as iterated plans exactly like the hand-built label
+    propagation in cluster_connected_components, but expressed in pure
+    SQL. DuckDB runs the identical text."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE emp AS (
+          SELECT c_custkey AS id, c_custkey div 4 AS parent
+          FROM v_customer WHERE c_custkey BETWEEN 1 AND 100),
+        walk(id, depth, root) AS (
+          SELECT id, 0 AS depth, id AS root FROM emp WHERE parent = 0
+          UNION ALL
+          SELECT e.id, w.depth + 1, w.root
+          FROM emp e JOIN walk w ON e.parent = w.id
+        )
+        SELECT id, depth, root FROM walk
+        """
+    )
+
+
+@query(
+    "sql_lateral_topn",
+    oracle="""
+SELECT n.n_name, l.c_custkey, l.acctbal_c
+FROM nation n,
+LATERAL (
+  SELECT c_custkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY acctbal_c DESC, c_custkey ASC
+  LIMIT 2
+) l
+""",
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — per-nation top-2 customers by balance,
+    written as "for each dim row, run this parameterized query". Catalyst
+    decorrelates the lateral into a join + per-key limit instead of
+    re-executing the inner query per row; ordering on (exact cents,
+    custkey) keeps both engines' top-2 identical under ties."""
+    for t in ("nation", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_custkey, l.acctbal_c
+        FROM v_nation n,
+        LATERAL (
+          SELECT c_custkey,
+                 CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+          FROM v_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY acctbal_c DESC, c_custkey ASC
+          LIMIT 2
+        ) l
+        """
+    )
