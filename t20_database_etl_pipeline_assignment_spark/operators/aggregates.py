@@ -664,3 +664,41 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         (F.sum("cents") / F.lit(100.0)).alias("sum_value"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+WITH words AS (
+  SELECT event_type, user_id // 32 AS word, bit_or(1::BIGINT << (user_id % 32)) AS bits
+  FROM events
+  GROUP BY event_type, user_id // 32)
+SELECT event_type,
+       CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users,
+       COUNT(*) AS n_words
+FROM words
+GROUP BY event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via positional bitmaps (the roaring-bitmap
+    technique): pack user ids into 64-bit words with bit_or, then sum
+    popcounts — two cheap integer aggregations instead of the
+    expand-and-dedup a COUNT(DISTINCT) pays. Unlike HLL
+    (agg_approx_distinct) the answer is exact, and the intermediate bitmap
+    words are mergeable state: at 100 TB they persist per partition/day
+    and re-aggregate like the rollup_incremental_merge dailies. Best when
+    the id domain is dense and bounded (users, items); HLL wins on sparse
+    unbounded domains (urls, ngrams)."""
+    e = table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = e.groupBy(
+        "event_type", F.expr("user_id div 32").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("bits")
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

@@ -182,3 +182,12 @@ def test_q3_composite_plan_shape(spark, sf_dir):
     assert "EqualTo(c_mktsegment,BUILDING)" in plan, plan
     assert "GreaterThan(l_shipdate," in plan, plan
     assert "LessThan(o_orderdate," in plan, plan
+
+
+def test_exists_subquery_decorrelates_to_semi_anti(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS must compile to hash semi/anti joins
+    (one pass over orders each), never a per-row subquery execution."""
+    plan = plan_of(QUERIES["sql_exists_subquery"](spark, sf_dir), mode="simple")
+    assert "LeftSemi" in plan or "Semi" in plan, plan
+    assert "LeftAnti" in plan or "Anti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
