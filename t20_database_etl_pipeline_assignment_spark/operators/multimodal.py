@@ -142,3 +142,80 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payloads.mapInPandas(extract_binary_features, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, grid_w long, grid_h long, out_w long, out_h long, "
+    "n_out long, out_md5 string"
+)
+
+
+def resize_grids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Nearest-neighbor 2× downsample over a fake byte grid — the resize
+    stage of an image pipeline with the codec replaced by deterministic
+    byte math. The payload is treated as a row-major grid of width
+    (first_byte % 64 + 1); keeping every 2nd row and 2nd column is exactly
+    what cv2.resize(..., interpolation=NEAREST) at scale 0.5 computes per
+    channel. Vectorized numpy over each Arrow batch; payloads never visit
+    the driver."""
+    import hashlib
+
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "grid_w", "grid_h", "out_w", "out_h", "n_out", "out_md5")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            w = data[0] % 64 + 1
+            n = len(data)
+            h = -(-n // w)
+            arr = np.frombuffer(data, dtype=np.uint8)
+            idx = np.arange(n)
+            keep = ((idx // w) % 2 == 0) & ((idx % w) % 2 == 0)
+            resized = arr[keep].tobytes()
+            out["doc_id"].append(doc_id)
+            out["grid_w"].append(w)
+            out["grid_h"].append(h)
+            out["out_w"].append(-(-w // 2))
+            out["out_h"].append(-(-h // 2))
+            out["n_out"].append(len(resized))
+            out["out_md5"].append(hashlib.md5(resized).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, text,
+         ascii(substr(text, 1, 1)) % 64 + 1 AS w,
+         length(text) AS n
+  FROM documents),
+r AS (
+  SELECT doc_id, w, n,
+         array_to_string(
+           list_transform(
+             list_filter(range(0, n),
+                         i -> ((i // w) % 2 = 0) AND ((i % w) % 2 = 0)),
+             i -> substr(text, i + 1, 1)), '') AS resized
+  FROM g)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS grid_w,
+       CAST(ceil(n / (1.0 * w)) AS BIGINT) AS grid_h,
+       CAST(ceil(w / 2.0) AS BIGINT) AS out_w,
+       CAST(ceil(ceil(n / (1.0 * w)) / 2.0) AS BIGINT) AS out_h,
+       CAST(length(resized) AS BIGINT) AS n_out,
+       md5(resized) AS out_md5
+FROM r
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage of the multimodal pipeline: binary payload →
+    row-major byte grid → nearest-neighbor 2× downsample → shape metadata
+    + content hash, all inside a vectorized mapInPandas kernel. The oracle
+    replays the identical index arithmetic character-wise (ASCII corpus ⇒
+    bytes == chars), value-checking the whole Arrow resize path."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(resize_grids, schema=RESIZE_SCHEMA)
