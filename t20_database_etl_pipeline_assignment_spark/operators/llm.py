@@ -1690,6 +1690,141 @@ def seq_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SHARDS = 8
+
+
+@query(
+    "corpus_shuffle_shard",
+    oracle=f"""
+WITH pri AS (
+  SELECT doc_id,
+         {_sql_hash60("CAST(doc_id AS VARCHAR) || '|shuffle-epoch-0'")} AS priority
+  FROM documents)
+SELECT doc_id, CAST(priority % {_N_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY priority % {_N_SHARDS}
+                               ORDER BY priority, doc_id) AS BIGINT) AS pos
+FROM pri
+""",
+)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: each document gets
+    a content-hash priority (seeded by an epoch tag, so epoch 1 is a
+    different but equally reproducible permutation), its shard is the
+    priority mod N, and its position is the rank within the shard. This is
+    the "shuffle the corpus before writing training shards" step done
+    without an RNG: re-runs are bit-identical, and appending data never
+    moves existing rows across shards. Scale shape: shard assignment is a
+    pure map; the per-shard rank is one hash-partitioned window (never a
+    single global sort) — at 100 TB each shard sorts independently and
+    writes its own file set via partitionBy("shard")."""
+    d = table(spark, sf_dir, "documents")
+    pri = hash60(F.concat(F.col("doc_id").cast("string"), F.lit("|shuffle-epoch-0")))
+    w = Window.partitionBy("shard").orderBy("priority", "doc_id")
+    return (
+        d.select("doc_id", pri.alias("priority"))
+        .withColumn("shard", (F.col("priority") % _N_SHARDS).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+_PREFIX_CHARS = 120
+
+
+@query(
+    "dedup_prefix",
+    oracle=f"""
+WITH docs_in AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, 200),
+         LEAST(n_chars, 200) FROM documents),
+hashed AS (
+  SELECT doc_id, n_chars,
+         md5(substr(text, 1, {_PREFIX_CHARS})) AS prefix_md5,
+         md5(text) AS full_md5
+  FROM docs_in)
+SELECT prefix_md5, COUNT(*) AS n_docs,
+       COUNT(DISTINCT full_md5) AS n_variants,
+       MIN(doc_id) AS keep_doc,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM hashed GROUP BY prefix_md5 HAVING COUNT(*) > 1
+""",
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate detection: web corpora carry the same page
+    captured at different cut-offs, which exact full-hash dedup misses.
+    Group on a hash of the first 120 characters; a group with more than
+    one member is a prefix-duplicate cluster, and n_variants tells exact
+    copies (1) apart from truncation variants (>1). The fixture injects a
+    200-char-truncated copy of every document so both cases occur. Same
+    100 TB discipline as dedup_exact: both digests are projected before the
+    shuffle, so the exchange moves 2×16-byte hashes per row, never text."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    truncated = d.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+        F.least(F.col("n_chars"), F.lit(200)).alias("n_chars"),
+    )
+    hashed = d.unionByName(truncated).select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.substring("text", 1, _PREFIX_CHARS)).alias("prefix_md5"),
+        F.md5("text").alias("full_md5"),
+    )
+    return (
+        hashed.groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("full_md5").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "batch_length_buckets",
+    oracle="""
+WITH t AS (
+  SELECT source, len(string_split(text, ' ')) AS toks FROM documents),
+b AS (
+  SELECT source, toks,
+         CASE WHEN toks <= 1 THEN 1
+              ELSE CAST(1 AS BIGINT) << length(bin(toks - 1)) END AS bucket_hi
+  FROM t)
+SELECT source, CAST(bucket_hi AS BIGINT) AS bucket_hi, COUNT(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS tok_sum,
+       CAST(SUM(bucket_hi - toks) AS BIGINT) AS pad_waste
+FROM b GROUP BY source, bucket_hi
+""",
+)
+def batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report: assign every document to the
+    next-power-of-two token bucket and account the padding waste a
+    pad-to-bucket batcher would pay per (source, bucket). The bucket edge
+    is computed with integer bit arithmetic (1 << bitlength(toks-1)) on
+    BOTH engines — no float log2, so no boundary divergence at exact powers
+    of two. This is the standard pre-batching histogram used to pick
+    sequence-length buckets for training; one narrow aggregate, map-side
+    combinable, no data movement beyond the final tiny group-by."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(_tokens()).cast("long")
+    b = d.select("source", toks.alias("toks")).withColumn(
+        "bucket_hi",
+        F.expr(
+            "CASE WHEN toks <= 1 THEN CAST(1 AS BIGINT) "
+            "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(toks - 1))) END"
+        ),
+    )
+    return b.groupBy("source", "bucket_hi").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("tok_sum"),
+        F.sum(F.col("bucket_hi") - F.col("toks")).alias("pad_waste"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-space analysis: random projection, per-label centroid outliers
 # ---------------------------------------------------------------------------
