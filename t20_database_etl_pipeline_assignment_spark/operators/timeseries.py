@@ -276,3 +276,78 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         (F.col("n_users") / (1.0 * F.col("cohort_size"))).alias("retention"),
     )
+
+
+_IV_DUR_US = 3_600_000_000  # each event opens a 1-hour interval
+
+
+@query(
+    "interval_peak_concurrency",
+    oracle=f"""
+WITH iv AS (
+  SELECT event_id, event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + {_IV_DUR_US} AS e
+  FROM events),
+pts AS (
+  SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS delta, event_id FROM iv),
+run AS (
+  SELECT event_type, t,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM pts),
+mx AS (SELECT event_type, MAX(conc) AS peak FROM run GROUP BY event_type)
+SELECT r.event_type, CAST(m.peak AS BIGINT) AS peak_concurrency,
+       CAST(MIN(r.t) AS BIGINT) AS peak_at_us
+FROM run r JOIN mx m ON r.event_type = m.event_type AND r.conc = m.peak
+GROUP BY r.event_type, m.peak
+""",
+)
+def interval_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency via sweep line: every event opens a 1-hour
+    interval; the answer is the maximum number of simultaneously open
+    intervals per event_type and the earliest instant it is reached.
+
+    The naive formulation is an interval-overlap self-join — O(n²) pairs
+    and unbound fan-out. The sweep line instead emits a +1 point at each
+    start and a -1 point at each end, sorts once, and takes a running sum:
+    the concurrency curve in one hash-partitioned window pass. End points
+    sort before start points at the same instant (delta ascending) so
+    half-open [s, e) semantics hold; event_id breaks remaining ties so the
+    curve is engine-identical. At 100 TB a single hot key still sorts in
+    one task's range only if further split: the same curve composes by
+    range-chunking time, prefix-summing per chunk, and broadcasting chunk
+    offsets — the semantics permit it because the sum is associative."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("s")
+    )
+    pts = e.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        e.select(
+            "event_type",
+            (F.col("s") + F.lit(_IV_DUR_US)).alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("event_type", "t", F.sum("delta").over(w).alias("conc"))
+    mx = run.groupBy("event_type").agg(F.max("conc").alias("peak"))
+    return (
+        run.join(F.broadcast(mx), "event_type")
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").alias("peak_at_us"))
+        .select(
+            "event_type",
+            F.col("peak").cast("long").alias("peak_concurrency"),
+            F.col("peak_at_us").cast("long"),
+        )
+    )
