@@ -489,3 +489,33 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders"),
         money_sum(F.col("l_extendedprice")).alias("total_price"),
     )
+
+
+def scan_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Opaque-file ingestion via Spark's built-in `binaryFile` source — the
+    entry point that turns a directory of raw media/artifact files into the
+    (file_name, length, content) relation the multimodal operators consume.
+
+    Library surface (no registry entry: a static DuckDB oracle cannot name
+    runtime file paths); byte-exactness is proven by
+    tests/test_llm_ops.py::test_binaryfile_source_roundtrip, which writes
+    payloads as loose files, reads them back through this scan, and
+    hash-compares content against the written bytes.
+
+    Scale notes: `binaryFile` never splits a file, so parallelism = file
+    count and small-file overhead is the dominant cost at scale — compact
+    upstream (sink_compact_small_files) or bundle payloads into a parquet
+    binary column (multimodal_bundle) once ingested; this source is the
+    landing-zone reader, not the steady-state layout. Payload bytes stream
+    executor-side only; the driver never sees them. `pathGlobFilter` prunes
+    at file-listing time, before any read."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return df.select(
+        F.regexp_extract("path", "[^/]+$", 0).alias("file_name"),
+        "length",
+        "content",
+    )

@@ -149,3 +149,51 @@ def test_corpus_assembly_properties(spark, sf_dir):
         tol = 4.0 * 100.0 * (target / 100 * (1 - target / 100) / n) ** 0.5 + 1.0
         assert abs(achieved - target) < tol, (lang, achieved, target, n)
     assert samp.count() == sample_stratified(spark, sf_dir).count()
+
+
+def test_binaryfile_source_roundtrip(spark, tmp_path):
+    """Landing-zone ingestion: loose binary files -> binaryFile scan ->
+    Arrow feature extractor. Content must be byte-exact (sha256 parity with
+    the written bytes) and glob pruning must drop non-matching files at
+    listing time."""
+    import hashlib
+
+    from t20_database_etl_pipeline_assignment_spark.operators.io_ops import (
+        scan_binary_files,
+    )
+    from t20_database_etl_pipeline_assignment_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        extract_binary_features,
+    )
+
+    blobs = {
+        f"img{i:03d}.bin": bytes([(i * 31 + j * 7) % 256 for j in range(64 + 8 * i)])
+        for i in range(6)
+    }
+    for nm, b in blobs.items():
+        (tmp_path / nm).write_bytes(b)
+    (tmp_path / "ignore.txt").write_text("excluded by glob")
+
+    scanned = scan_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = scanned.collect()
+    assert sorted(r.file_name for r in rows) == sorted(blobs)
+    for r in rows:
+        exp = blobs[r.file_name]
+        assert r.length == len(exp)
+        assert bytes(r.content) == exp
+
+    # chain into the multimodal extractor: rename to its payload contract
+    payloads = scanned.select(
+        F.regexp_extract("file_name", r"(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    feats = {
+        r.doc_id: r
+        for r in payloads.mapInPandas(extract_binary_features, FEATURE_SCHEMA).collect()
+    }
+    for nm, b in blobs.items():
+        doc_id = int(nm[3:6])
+        r = feats[doc_id]
+        assert r.payload_sha256 == hashlib.sha256(b).hexdigest()
+        assert r.n_bytes == len(b)
+        assert r.header_hex == b[:4].hex().upper()
