@@ -191,3 +191,47 @@ def test_exists_subquery_decorrelates_to_semi_anti(spark, sf_dir):
     assert "LeftSemi" in plan or "Semi" in plan, plan
     assert "LeftAnti" in plan or "Anti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_corpus_shard_single_shuffle_no_global_sort(spark, sf_dir):
+    """Shard assignment is a pure map; only the per-shard rank shuffles.
+    One hash exchange, and no global (single-partition) sort anywhere."""
+    plan = plan_of(QUERIES["corpus_shuffle_shard"](spark, sf_dir), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_dedup_prefix_shuffles_digests_not_text(spark, sf_dir):
+    """Both md5 digests must be computed below the exchange so the shuffle
+    moves 32 bytes/row, never document text."""
+    plan = plan_of(QUERIES["dedup_prefix"](spark, sf_dir), mode="formatted")
+    # both exchanges partition on digest columns
+    assert "hashpartitioning(prefix_md5" in plan, plan
+    # the text column never flows through an Exchange: collect each Exchange
+    # node's Input schema from the formatted detail blocks
+    lines = plan.splitlines()
+    exchange_ids = [
+        line.split("Exchange (")[1].rstrip(")")
+        for line in lines
+        if line.strip().endswith(")") and "Exchange (" in line
+    ]
+    assert exchange_ids, plan
+    for i, line in enumerate(lines):
+        if any(line.startswith(f"({eid}) Exchange") for eid in exchange_ids):
+            block = "\n".join(lines[i : i + 4])
+            assert "text#" not in block, block
+
+
+def test_length_buckets_partial_agg(spark, sf_dir):
+    plan = plan_of(QUERIES["batch_length_buckets"](spark, sf_dir), mode="simple")
+    assert plan.count("HashAggregate") == 2, plan  # map-side combine
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_peak_concurrency_broadcasts_maxima(spark, sf_dir):
+    """The per-type maxima table (|event types| rows) must broadcast; the
+    big side is one window pass, never an interval self-join."""
+    plan = plan_of(QUERIES["interval_peak_concurrency"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
