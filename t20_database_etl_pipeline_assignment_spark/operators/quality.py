@@ -273,7 +273,38 @@ def cluster_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    sym = _cached_sym_graph(spark, sf_dir, docs)
 
+    def propagate(lbls: DataFrame) -> DataFrame:
+        nbr = (
+            sym.join(lbls, sym["src"] == lbls["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        return lbls.join(nbr, lbls["node"] == nbr["node2"], "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))).alias("lbl"),
+            (F.coalesce("nbr_min", F.col("lbl")) < F.col("lbl")).alias("changed"),
+        )
+
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
+    for _ in range(10):  # 2 propagation steps per materialized job = diameter 20
+        # chain two rounds lazily, then cut lineage with ONE eager job; if
+        # the second step moved no label, the first had already converged
+        # (its output equals the fixed point the second step confirmed).
+        new = propagate(propagate(labels).drop("changed")).localCheckpoint()
+        n_changed = new.filter("changed").limit(1).count()  # 1-row driver check
+        labels = new.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+def _cached_sym_graph(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
+    """Symmetrized 3-gram-Jaccard ≥ 0.6 similarity graph over `docs`,
+    persisted as a per-fixture index (.index_cache) and shared by the
+    clustering and link-analysis operators: built once by the dedup pass,
+    walked many times."""
     from .llm import _cached_df, _index_cache_dir, shingles
 
     def build_edges() -> DataFrame:
@@ -305,31 +336,116 @@ def cluster_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
         )
 
-    sym = _cached_df(spark, _index_cache_dir(sf_dir, "jaccard_graph"), build_edges)
+    return _cached_df(spark, _index_cache_dir(sf_dir, "jaccard_graph"), build_edges)
 
-    def propagate(lbls: DataFrame) -> DataFrame:
-        nbr = (
-            sym.join(lbls, sym["src"] == lbls["node"])
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("lbl").alias("nbr_min"))
-        )
-        return lbls.join(nbr, lbls["node"] == nbr["node2"], "left").select(
-            "node",
-            F.least(F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))).alias("lbl"),
-            (F.coalesce("nbr_min", F.col("lbl")) < F.col("lbl")).alias("changed"),
-        )
 
-    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
-    for _ in range(10):  # 2 propagation steps per materialized job = diameter 20
-        # chain two rounds lazily, then cut lineage with ONE eager job; if
-        # the second step moved no label, the first had already converged
-        # (its output equals the fixed point the second step confirmed).
-        new = propagate(propagate(labels).drop("changed")).localCheckpoint()
-        n_changed = new.filter("changed").limit(1).count()  # 1-row driver check
-        labels = new.drop("changed")
-        if n_changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component"))
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+_SQL_JACCARD_GRAPH = """
+docs_in AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents),
+shing AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs_in)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT doc1, doc2 FROM inter
+  JOIN sizes sa ON doc1 = sa.doc_id
+  JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE i / (1.0 * (sa.sz + sb.sz - i)) >= 0.6),
+sym AS (
+  SELECT doc1 AS src, doc2 AS dst FROM edges
+  UNION ALL
+  SELECT doc2 AS src, doc1 AS dst FROM edges)
+"""
+
+
+def _sql_pr_iter(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT nd.node,
+         (15 * ({_PR_SCALE} // (SELECT n_nodes FROM c))) // 100
+           + (85 * COALESCE(SUM(p.r // d.d), 0)) // 100 AS r
+  FROM nodes nd
+  LEFT JOIN sym s ON s.dst = nd.node
+  LEFT JOIN {prev} p ON p.node = s.src
+  LEFT JOIN deg d ON d.node = s.src
+  GROUP BY nd.node)"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+WITH {_SQL_JACCARD_GRAPH},
+nodes AS (SELECT doc_id AS node FROM docs_in),
+c AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+r0 AS (SELECT node, {_PR_SCALE} // (SELECT n_nodes FROM c) AS r FROM nodes),
+{",".join(_sql_pr_iter(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS))}
+SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM r{_PR_ITERS}
+""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup similarity graph — link analysis as
+    iterative dataflow, bit-exact across engines.
+
+    Ranks live as scaled integers (10^12 total mass) and every step is
+    integer arithmetic: per-edge contribution r DIV outdeg, damping as
+    (85·Σ) DIV 100 plus the (15·SCALE/N) DIV 100 base. Integer division
+    is order-independent and identical in Spark (DIV) and DuckDB (//), so
+    {_PR_ITERS} unrolled iterations hash-match a recursive SQL replay —
+    no float summation-order hazard ever arises.
+
+    Scale shape: each iteration is one shuffle of (dst, contribution) onto
+    node id — the classic distributed PageRank round. The graph itself is
+    the persisted .index_cache artifact shared with
+    cluster_connected_components (built once, walked many times); degree
+    is one tiny aggregate; nodes with no in-edges keep the base mass via
+    the left join. At web scale the same loop runs with the edge list
+    pre-partitioned by src so the per-round join is co-located, and the
+    rank vector checkpoints every few rounds to cut lineage."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    sym = _cached_sym_graph(spark, sf_dir, docs)
+
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    ntot = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+
+    r = (
+        nodes.crossJoin(F.broadcast(ntot))  # 1-row scalar total
+        .select("node", F.expr(f"{_PR_SCALE} DIV n_nodes").alias("r"))
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            sym.alias("s")
+            .join(r.alias("p"), F.col("s.src") == F.col("p.node"))
+            .join(F.broadcast(deg.alias("dg")), F.col("s.src") == F.col("dg.node"))
+            .select(F.col("s.dst").alias("node2"), F.expr("r DIV d").alias("c"))
+            .groupBy("node2")
+            .agg(F.sum("c").alias("csum"))
+        )
+        r = (
+            nodes.join(contrib, nodes["node"] == contrib["node2"], "left")
+            .crossJoin(F.broadcast(ntot))  # 1-row scalar total
+            .select(
+                "node",
+                F.expr(
+                    f"(15 * ({_PR_SCALE} DIV n_nodes)) DIV 100"
+                    " + (85 * COALESCE(csum, CAST(0 AS BIGINT))) DIV 100"
+                ).alias("r"),
+            )
+        )
+    return r.select(F.col("node").alias("doc_id"), F.col("r").cast("long").alias("rank_scaled"))
 
 
 # ---------------------------------------------------------------------------

@@ -141,6 +141,7 @@ _BNLJ_ALLOWED = {
     "agg_heavy_hitters",     # 1-row grand-total broadcast
     "mix_weighted",          # 1-row weight-sum/budget broadcast
     "join_cross",            # the cross join operator itself (bounded dims)
+    "graph_pagerank",        # 1-row node-count broadcast (base-mass term)
 }
 _PY_ROW_ALLOWED = {"udf_python_scalar", "udtf_explode_custom"}  # §2.K escape hatches
 # Queries allowed an unbounded global sort (none expected; review any addition)
