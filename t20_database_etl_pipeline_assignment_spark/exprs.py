@@ -38,6 +38,41 @@ def money_avg(col: Column, scale: int = 100) -> Column:
     return F.sum(scaled_long(col, scale)) / (F.lit(float(scale)) * F.count(F.lit(1)))
 
 
+# ---- event-time helpers (TIMESTAMP_NTZ-safe) ------------------------------
+#
+# The fixtures store naive microsecond timestamps, which Spark reads as
+# TIMESTAMP_NTZ (parquet isAdjustedToUTC=false + inferTimestampNTZ default).
+# `unix_micros` only accepts the LTZ TimestampType, and casting NTZ->LTZ
+# drags the session timezone into the value — so epoch arithmetic on event
+# time goes through timestamp_diff/timestamp_add against a fixed NTZ epoch:
+# bit-exact, timezone-independent, and identical to DuckDB's epoch_us() on
+# its naive TIMESTAMP.
+
+_NTZ_EPOCH_SQL = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def ntz_epoch() -> Column:
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Naive epoch microseconds of a TIMESTAMP_NTZ column (long)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff("MICROSECOND", ntz_epoch(), c)
+
+
+def ntz_from_us(col: Column | str) -> Column:
+    """Inverse of epoch_us: long microseconds -> TIMESTAMP_NTZ."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_add("MICROSECOND", c, ntz_epoch())
+
+
+def sql_spark_epoch_us(expr: str) -> str:
+    """Spark-SQL text form of epoch_us, for F.expr() fragments that need
+    integer `div` (Column has no exact integer-division operator)."""
+    return f"timestampdiff(MICROSECOND, {_NTZ_EPOCH_SQL}, {expr})"
+
+
 # ---- SQL fragment generators for the DuckDB oracle side -------------------
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..exprs import money_sum, sql_money_sum
+from ..exprs import money_sum, ntz_epoch, sql_money_sum
 from ..registry import query
 from ..sources.tables import table
 
@@ -540,7 +540,9 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive formulation (fine at fixture scale) — results must be identical.
     """
     e = table(spark, sf_dir, "events")
-    bucket_of = lambda c: (F.unix_timestamp(c) / _RANGE_SECS).cast("long")  # noqa: E731
+    bucket_of = lambda c: (  # noqa: E731
+        F.timestamp_diff("SECOND", ntz_epoch(), c) / _RANGE_SECS
+    ).cast("long")
     anchors = (
         e.filter(F.col("event_type") == "error")
         .select(
@@ -562,10 +564,7 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "error_id",
             "event_id",
-            (
-                F.unix_micros(F.col("ts").cast("timestamp"))
-                - F.unix_micros(F.col("a_ts").cast("timestamp"))
-            ).alias("lag_us"),
+            F.timestamp_diff("MICROSECOND", F.col("a_ts"), F.col("ts")).alias("lag_us"),
         )
     )
 

@@ -17,7 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import money_sum, scaled_long, sql_money_sum, sql_scaled_long
+from ..exprs import (
+    epoch_us,
+    money_sum,
+    ntz_from_us,
+    scaled_long,
+    sql_money_sum,
+    sql_scaled_long,
+    sql_spark_epoch_us,
+)
 from ..registry import query
 from ..sources.tables import table
 
@@ -63,7 +71,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("click", "purchase")
     )
     return asof_attribute(
-        e.select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")),
+        e.select("user_id", "event_id", "event_type", epoch_us("ts").alias("us")),
         tol_us=_TOL_US,
     )
 
@@ -147,8 +155,8 @@ def resample_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         "value",
-        F.unix_micros("ts").alias("us"),
-        F.expr(f"unix_micros(ts) div {_BUCKET_US}").alias("bucket"),
+        epoch_us("ts").alias("us"),
+        F.expr(f"({sql_spark_epoch_us('ts')}) div {_BUCKET_US}").alias("bucket"),
     )
     wa = Window.partitionBy("event_type", "bucket").orderBy(
         F.asc("us"), F.asc("event_id")
@@ -170,7 +178,7 @@ def resample_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(F.col("value")).alias("sum_value"),
     ).select(
         "event_type",
-        F.timestamp_micros(F.col("bucket") * _BUCKET_US).alias("bucket_start"),
+        ntz_from_us(F.col("bucket") * _BUCKET_US).alias("bucket_start"),
         "n_events",
         "open_value",
         "high_value",
@@ -259,7 +267,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cohort_week",
             (
-                (F.unix_micros("week") - F.unix_micros("cohort_week"))
+                F.timestamp_diff("MICROSECOND", F.col("cohort_week"), F.col("week"))
                 / F.lit(_WEEK_US)
             ).cast("long").alias("week_offset"),
             "user_id",
@@ -321,7 +329,7 @@ def interval_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-chunking time, prefix-summing per chunk, and broadcasting chunk
     offsets — the semantics permit it because the sum is associative."""
     e = table(spark, sf_dir, "events").select(
-        "event_id", "event_type", F.unix_micros("ts").alias("s")
+        "event_id", "event_type", epoch_us("ts").alias("s")
     )
     pts = e.select(
         "event_type", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"

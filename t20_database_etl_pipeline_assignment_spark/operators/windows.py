@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import scaled_long
+from ..exprs import ntz_epoch, scaled_long
 from ..registry import query
 from ..sources.tables import table
 
@@ -154,7 +154,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
 )
 def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day event-time moving average via a RANGE frame on epoch seconds."""
-    e = table(spark, sf_dir, "events").withColumn("ts_sec", F.col("ts").cast("long"))
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.timestamp_diff("SECOND", ntz_epoch(), F.col("ts"))
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_sec")

@@ -33,23 +33,28 @@ TABLE_NAMES = [
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Columnar, pruned, pushdown-capable.
 
-    `events.ts` is TIMESTAMP(NANOS) in Parquet, which Spark has no native
-    type for (TimestampType is µs). With `spark.sql.legacy.parquet.
-    nanosAsLong=true` it arrives as long nanoseconds; we convert to a µs
-    timestamp with integer arithmetic (`div 1000` — exact, and identical to
-    DuckDB's ns→µs truncation). Cost at scale: predicates on `ts` can't push
-    into this scan as timestamp stats — a production layout would store µs;
-    the conversion is confined here so every operator sees a plain
-    TimestampType column.
+    All fixture timestamps (`events.ts`, `o_orderdate`, `l_shipdate`) are
+    naive µs Parquet timestamps (isAdjustedToUTC=false), which Spark reads
+    as TIMESTAMP_NTZ — matching DuckDB's naive TIMESTAMP bit-for-bit with
+    no session-timezone dependence, so timestamp stats push down into the
+    scan untouched. Event-time arithmetic stays NTZ-safe via
+    exprs.epoch_us/ntz_from_us (timestamp_diff/add against a fixed NTZ
+    epoch) because unix_micros & friends only accept the LTZ type.
+
+    Legacy tolerance: earlier fixture generations wrote `events.ts` as
+    TIMESTAMP(NANOS), which Spark can only read as long nanoseconds under
+    `nanosAsLong` — that layout is detected by dtype and converted to the
+    same NTZ µs column (exact `div 1000`, identical to DuckDB's ns→µs
+    truncation). The conf is runtime-settable, so this works under ANY
+    caller-provided session (the driver passes its own SparkSession).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     if name == "events":
-        # Runtime-settable; required for TIMESTAMP(NANOS) parquet under ANY
-        # caller-provided session (the driver passes its own SparkSession —
-        # relying on our session factory alone breaks there).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
     return df

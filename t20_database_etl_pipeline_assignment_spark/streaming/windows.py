@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import scaled_long, sql_money_sum
+from ..exprs import epoch_us, scaled_long, sql_money_sum
 from ..registry import query
 from ..sources.tables import table
 
@@ -119,7 +119,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-and-island sessionization (30-min gap): the batch-exact
     formulation. The streaming equivalent is `F.session_window` — parity
     (incl. the gap boundary rule) is pinned in tests/test_streaming.py."""
-    e = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    e = table(spark, sf_dir, "events").withColumn("us", epoch_us("ts"))
     w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # event_id tie-break: with duplicate per-user microsecond timestamps the
     # cumulative sum is otherwise order-ambiguous and can diverge from the
@@ -255,7 +255,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the same parquet the batch path reads.
     Schema comes from a batch read (file streams require one); the ns→µs
     conversion mirrors sources/tables.py. The file source wants a directory,
-    so the fixture file is symlinked into a scratch dir (read-only fixtures)."""
+    so the fixture file is symlinked into a scratch dir (read-only fixtures).
+
+    `ts` is cast to the LTZ TimestampType here because Spark's watermark
+    contract rejects TIMESTAMP_NTZ event-time columns
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — streaming-only; batch outputs
+    stay NTZ. The parity tests compare against the NTZ batch results, which
+    is exact because both interpretations are naive wall-clock values."""
     import os
     import tempfile
 
@@ -266,6 +272,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.readStream.schema(schema).parquet(stream_dir)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -310,7 +318,7 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "click_id",
             "purchase_id",
-            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+            F.timestamp_diff("MICROSECOND", F.col("c_ts"), F.col("p_ts")).alias("lag_us"),
         )
     )
 

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from t20_database_etl_pipeline_assignment_spark.exprs import scaled_long
+from t20_database_etl_pipeline_assignment_spark.exprs import epoch_us, scaled_long
 from t20_database_etl_pipeline_assignment_spark.registry import QUERIES
 from t20_database_etl_pipeline_assignment_spark.streaming.windows import (
     read_events_stream,
@@ -237,7 +237,7 @@ def test_foreachbatch_upsert_serving_store(spark, sf_dir, tmp_path):
 
     batch = (
         table(spark, sf_dir, "events")
-        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .select("user_id", "event_id", epoch_us("ts").alias("us"))
         .withColumn(
             "_r",
             F.row_number().over(

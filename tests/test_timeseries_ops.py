@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from t20_database_etl_pipeline_assignment_spark.exprs import epoch_us
 from t20_database_etl_pipeline_assignment_spark.registry import QUERIES
 from t20_database_etl_pipeline_assignment_spark.sources.tables import table
 
@@ -26,7 +27,7 @@ def test_asof_matches_point_backwards_within_tolerance(spark, sf_dir):
     # every matched click really is a click event of the same user, earlier
     # or simultaneous
     e = table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+        "event_id", "user_id", "event_type", epoch_us("ts").alias("us")
     )
     m = out.filter(F.col("click_id").isNotNull()).alias("m")
     joined = m.join(
