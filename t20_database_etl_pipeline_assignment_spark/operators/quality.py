@@ -305,10 +305,10 @@ def _cached_sym_graph(spark: SparkSession, sf_dir: str, docs: DataFrame) -> Data
     persisted as a per-fixture index (.index_cache) and shared by the
     clustering and link-analysis operators: built once by the dedup pass,
     walked many times."""
-    from .llm import _cached_df, _index_cache_dir, shingles
+    from .llm import _cached_df, _index_cache_dir, cloned_shingles
 
     def build_edges() -> DataFrame:
-        sh = shingles(docs)
+        sh = cloned_shingles(spark, sf_dir)
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         a, b = sh.alias("a"), sh.alias("b")
         inter = (
