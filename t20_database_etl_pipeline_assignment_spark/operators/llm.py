@@ -612,6 +612,115 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_N = 8  # span-dedup gram width
+
+
+@query(
+    "dedup_span_ngram",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sp AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {_SPAN_N - 2}),
+                i -> array_to_string(list_slice(t, i, i + {_SPAN_N - 1}), ' '))) AS span
+  FROM toks WHERE len(t) >= {_SPAN_N}),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_distinct FROM sp GROUP BY doc_id),
+df AS (
+  SELECT span, COUNT(*) AS n_docs FROM sp GROUP BY span),
+dup AS (
+  SELECT sp.doc_id, COUNT(*) AS n_dup
+  FROM sp JOIN df ON sp.span = df.span AND df.n_docs >= 2
+  GROUP BY sp.doc_id)
+SELECT p.doc_id,
+       p.n_distinct,
+       COALESCE(d.n_dup, 0) AS n_dup,
+       COALESCE(d.n_dup, 0) / (1.0 * p.n_distinct) AS dup_frac
+FROM per_doc p LEFT JOIN dup d ON p.doc_id = d.doc_id
+""",
+)
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication signal: for every doc, how many of its
+    distinct 8-token spans also occur in at least one other document —
+    the ExactSubstr-style "duplicated training text" detector, reduced to
+    per-doc counts.
+
+    Unlike pairwise dedup this never forms doc pairs: one shuffle builds
+    the span→document-frequency table, the span→doc relation joins it
+    co-partitioned on span, and one more shuffle folds back to doc_id —
+    strictly linear in corpus size, so it runs BEFORE any pairwise stage
+    at 100 TB and routes only high-dup_frac docs into the quadratic
+    verifiers. dup_frac is exact-integer counts with one final IEEE
+    division (engine-identical)."""
+    toks = _tokens()
+    parts = [F.slice(toks, i + 1, F.size(toks) - _SPAN_N + 1) for i in range(_SPAN_N)]
+    span = parts[0]
+    for p in parts[1:]:
+        span = F.zip_with(span, p, lambda x, y: F.concat_ws(" ", x, y))
+    d = table(spark, sf_dir, "documents")
+    sp = (
+        d.filter(F.size(toks) >= _SPAN_N)
+        .select("doc_id", F.explode(span).alias("span"))
+        .distinct()
+    )
+    per_doc = sp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_distinct"))
+    df_ = sp.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = (
+        sp.join(df_.filter(F.col("n_docs") >= 2), "span")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    return per_doc.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_distinct",
+        n_dup.alias("n_dup"),
+        (n_dup / (F.lit(1.0) * F.col("n_distinct"))).alias("dup_frac"),
+    )
+
+
+@query(
+    "text_rarity_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+cf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok)
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(cf.c) AS BIGINT) AS sum_tok_count,
+       SUM(cf.c) / (1.0 * COUNT(*)) AS mean_tok_count
+FROM tok JOIN cf ON tok.tok = cf.tok
+GROUP BY tok.doc_id
+""",
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy without floats: score each doc by the mean
+    corpus frequency of its token stream (multiplicity included). Low
+    scores flag rare/garbled text, high scores boilerplate — the classic
+    perplexity-filter signal, but in exact integer arithmetic (corpus
+    counts summed as BIGINT, one final IEEE division) so the result is
+    bit-identical across engines, where a log-prob formulation would
+    diverge in the last ulp between JVM and DuckDB libm.
+
+    Dataflow is linear: explode tokens, one shuffle for the corpus counts,
+    a co-partitioned join back on token, one shuffle folding to doc_id.
+    At 100 TB the count table is Zipf-skewed — hot tokens ('the') are fine
+    because the join fans out rows without grouping on them; only the
+    final doc_id fold shuffles wide."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("tok"))
+    cf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(cf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_tok_count"),
+            (F.sum("c") / (F.lit(1.0) * F.count(F.lit(1)))).alias("mean_tok_count"),
+        )
+    )
+
+
 _MINHASH_PERMS = 16
 _MINHASH_BANDS = 4  # 4 bands × 4 rows
 
