@@ -1199,17 +1199,23 @@ def _index_cache_dir(sf_dir: str, kind: str) -> str:
 def _cached_df(spark: SparkSession, path: str, build) -> DataFrame:
     """Read a parquet-cached DataFrame, building it once if absent. The
     build is deterministic, so cache hits are value-identical to rebuilds
-    (doubles round-trip parquet exactly)."""
+    (doubles round-trip parquet exactly).
+
+    Concurrent callers (queries run in parallel threads share these
+    artifacts) each build into a caller-unique tmp dir and publish with an
+    atomic rename; losers discard their build. Deterministic builds make
+    either winner correct."""
     import os
     import shutil
+    import threading
+    import uuid
 
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}-{uuid.uuid4().hex[:8]}"
         build().write.mode("overwrite").parquet(tmp)
         try:
-            os.replace(tmp, path) if not os.path.exists(path) else shutil.rmtree(tmp)
+            os.rename(tmp, path)  # atomic publish; fails if a winner exists
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
