@@ -48,6 +48,14 @@ def _tmp(sf_dir: str, name: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"t20_io_{token}_{name}")
 
 
+def _tmp_per_process(sf_dir: str, name: str) -> str:
+    """Scratch path additionally keyed by PID — for embedded Derby, which
+    locks its database directory to ONE JVM: a second process (e.g. the
+    vanilla-session contract subprocess running beside the in-process test
+    session) must get its own database, not a boot conflict."""
+    return _tmp(sf_dir, f"{name}_{os.getpid()}")
+
+
 # ---------------------------------------------------------------------------
 # Scans with declared schemas
 # ---------------------------------------------------------------------------
@@ -321,7 +329,7 @@ def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate-and-reload path; read-back through the same JDBC source proves
     the round trip is lossless.
     """
-    db = _tmp(sf_dir, "derby")
+    db = _tmp_per_process(sf_dir, "derby")
     url = f"jdbc:derby:{db};create=true"
     driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
     opts = {"url": url, "driver": driver, "dbtable": "NATION_SINK"}
@@ -432,7 +440,7 @@ def scan_jdbc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     split covered every row exactly once (no seam gaps/overlaps at the
     bounds). At 100 TB-adjacent scale the cap is the RDBMS: size
     numPartitions to what the source can serve, never one-per-executor."""
-    db = _tmp(sf_dir, "derby_scan")
+    db = _tmp_per_process(sf_dir, "derby_scan")
     url = f"jdbc:derby:{db};create=true"
     driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
     opts = {"url": url, "driver": driver, "dbtable": "ORDERS_SRC"}

@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 
 from ..exprs import scaled_long, sql_money_sum
 from ..registry import query
+from ..sources.staging import cached_df, index_cache_dir
 from ..sources.tables import table
 
 
@@ -1168,57 +1169,10 @@ def _ivf_nearest_cells(vecs: DataFrame, cents: DataFrame, n: int) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
 
 
-def _index_cache_dir(sf_dir: str, kind: str) -> str:
-    """Fixture-keyed on-disk cache for amortized index builds (IVF
-    centroids + inverted file). At 100 TB the index is built once and
-    persisted; only probes run in the query path — this mirrors that.
-
-    The key embeds a fingerprint (name/size/mtime) of the fixture parquet
-    files, so a regenerated fixture directory — same path, new data —
-    auto-invalidates every derived index instead of silently serving
-    results computed from the previous generation."""
-    import hashlib
-    import os
-    from pathlib import Path
-
-    root = os.environ.get(
-        "T20_INDEX_CACHE",
-        str(Path(__file__).resolve().parents[2] / ".index_cache"),
-    )
-    h = hashlib.sha256()
-    try:
-        for p in sorted(Path(sf_dir).glob("*.parquet")):
-            st = p.stat()
-            h.update(f"{p.name}:{st.st_size}:{st.st_mtime_ns};".encode())
-    except OSError:
-        pass
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}-{h.hexdigest()[:12]}"
-    return os.path.join(root, key, kind)
-
-
-def _cached_df(spark: SparkSession, path: str, build) -> DataFrame:
-    """Read a parquet-cached DataFrame, building it once if absent. The
-    build is deterministic, so cache hits are value-identical to rebuilds
-    (doubles round-trip parquet exactly).
-
-    Concurrent callers (queries run in parallel threads share these
-    artifacts) each build into a caller-unique tmp dir and publish with an
-    atomic rename; losers discard their build. Deterministic builds make
-    either winner correct."""
-    import os
-    import shutil
-    import threading
-    import uuid
-
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}-{uuid.uuid4().hex[:8]}"
-        build().write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)  # atomic publish; fails if a winner exists
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+# staged-artifact helpers live with the scan layer; these aliases keep the
+# operator modules' call sites short
+_index_cache_dir = index_cache_dir
+_cached_df = cached_df
 
 
 def _ivf_build(spark: SparkSession, sf_dir: str, e: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -52,9 +52,39 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _RESTAGE_TABLES:
+        df = _restaged(spark, sf_dir, name)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
     return df
+
+
+# The documents table feeds interpreted higher-order-function work (token
+# explodes, n-gram zips, regex scans — all outside whole-stage codegen),
+# so scan parallelism is the whole ballgame — and the fixture file arrives
+# as a SINGLE parquet row group, which Spark can never split: one busy
+# core no matter the cluster. Restage it once into right-sized splits
+# (the standard move for unsplittable landing-zone files at 100 TB) and
+# let every consumer scan the staged copy in parallel. The other tables
+# stay on the raw files: vectorized scans + shuffle parallelism already
+# serve the relational ones, and the tiny `embeddings` table mostly feeds
+# iterative algorithms (IVF training, propagation loops) where extra input
+# splits just add task-scheduling overhead per round. Split count is
+# capped: per-split HOF work saturates well before per-task overhead does.
+_RESTAGE_TABLES = {"documents"}
+_RESTAGE_MAX_SPLITS = 8
+
+
+def _restaged(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .staging import cached_df, index_cache_dir
+
+    n_splits = min(_RESTAGE_MAX_SPLITS, spark.sparkContext.defaultParallelism)
+    return cached_df(
+        spark,
+        index_cache_dir(sf_dir, f"resplit_{name}"),
+        lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(n_splits),
+    )
