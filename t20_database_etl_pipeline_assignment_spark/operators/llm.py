@@ -199,6 +199,116 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
 
 
+def _eq_lit(t: str):
+    # one-arg HOF lambda per term; a default-arg closure would read as the
+    # two-arg (element, index) lambda form to PySpark's arity sniffing
+    return lambda w: w == F.lit(t)
+
+
+_BM25_TERMS = ("scan", "filter", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql_term(i: int, t: str) -> str:
+    """One term's BM25 contribution, with the exact operator order the
+    Spark side uses (float sequences must match op-for-op)."""
+    return (
+        f"(ln(((n.n - df{i}.df) + 0.5) / (df{i}.df + 0.5) + 1.0)"
+        f" * ((tf.tf{i} * {_BM25_K1 + 1.0}) /"
+        f" (tf.tf{i} + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * (tf.dl / a.avgdl)))))"
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT d.doc_id,
+         len(string_split(d.text, ' ')) AS dl,
+         {", ".join(f"(SELECT COUNT(*) FROM tok WHERE tok.doc_id = d.doc_id AND term = '{t}') AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+  FROM documents d),
+n AS (SELECT COUNT(*) AS n FROM documents),
+a AS (SELECT SUM(len(string_split(text, ' '))) / (1.0 * COUNT(*)) AS avgdl
+      FROM documents),
+{", ".join(f"df{i} AS (SELECT COUNT(DISTINCT doc_id) AS df FROM tok WHERE term = '{t}')" for i, t in enumerate(_BM25_TERMS))}
+SELECT tf.doc_id,
+       round({" + ".join(_bm25_sql_term(i, t) for i, t in enumerate(_BM25_TERMS))}, 6)
+         AS bm25
+FROM tf CROSS JOIN n CROSS JOIN a
+        {" ".join(f"CROSS JOIN df{i}" for i in range(len(_BM25_TERMS)))}
+ORDER BY bm25 DESC, tf.doc_id ASC
+LIMIT 10
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query,
+    top-10 docs — the lexical ranking stage of retrieval / RAG-curation
+    pipelines, as pure DataFrame math.
+
+    Cross-engine float discipline: term frequencies, document lengths and
+    document frequencies are exact integers; each term's float contribution
+    is one fixed chain of IEEE ops written identically in both engines, the
+    3 terms add in explicit left-to-right order (never a float SUM over an
+    engine-ordered group), and round(6) absorbs ln() libm ulp skew — the
+    same discipline as text_tfidf_topterms.
+
+    Scale shape: one token explode with an early `term IN (...)` filter (a
+    3-row broadcast semi-filter at 100 TB), per-doc conditional-sum tf in
+    one partial-aggregable pass, 1-row global aggregates broadcast back,
+    and a TakeOrderedAndProject top-k — no shuffle ever carries more than
+    one row per candidate doc."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    tf = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq_lit(t))).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    n_row = d.agg(F.count(F.lit(1)).alias("n"))
+    avg_row = d.agg(
+        (F.sum(F.size(toks).cast("long")) / (F.lit(1.0) * F.count(F.lit(1)))).alias(
+            "avgdl"
+        )
+    )
+    tok = d.select("doc_id", F.explode(toks).alias("term"))
+    df_rows = [
+        tok.filter(F.col("term") == t).agg(F.countDistinct("doc_id").alias(f"df{i}"))
+        for i, t in enumerate(_BM25_TERMS)
+    ]
+    j = tf.crossJoin(F.broadcast(n_row)).crossJoin(F.broadcast(avg_row))
+    for r in df_rows:
+        j = j.crossJoin(F.broadcast(r))
+
+    def term_score(i: int):
+        tf_i = F.col(f"tf{i}")
+        df_i = F.col(f"df{i}")
+        idf = F.log(
+            ((F.col("n") - df_i) + F.lit(0.5)) / (df_i + F.lit(0.5)) + F.lit(1.0)
+        )
+        return idf * (
+            (tf_i * F.lit(_BM25_K1 + 1.0))
+            / (
+                tf_i
+                + F.lit(_BM25_K1)
+                * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+
+    score = term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + term_score(i)
+    return (
+        j.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 _STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it"]
 
 
