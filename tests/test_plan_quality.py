@@ -142,6 +142,7 @@ _BNLJ_ALLOWED = {
     "mix_weighted",          # 1-row weight-sum/budget broadcast
     "join_cross",            # the cross join operator itself (bounded dims)
     "graph_pagerank",        # 1-row node-count broadcast (base-mass term)
+    "text_bm25_topk",        # 1-row corpus-size/avgdl/df broadcasts
 }
 _PY_ROW_ALLOWED = {"udf_python_scalar", "udtf_explode_custom"}  # §2.K escape hatches
 # Queries allowed an unbounded global sort (none expected; review any addition)
@@ -234,5 +235,34 @@ def test_peak_concurrency_broadcasts_maxima(spark, sf_dir):
     big side is one window pass, never an interval self-join."""
     plan = plan_of(QUERIES["interval_peak_concurrency"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_span_dedup_never_forms_doc_pairs(spark, sf_dir):
+    """The span-level dup signal must stay linear: joins only on span /
+    doc_id hash keys — no doc×doc join shape (that is the quadratic stage
+    it exists to avoid)."""
+    plan = plan_of(QUERIES["dedup_span_ngram"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan  # all joins hash, keys well-typed
+
+
+def test_rarity_score_joins_on_token_copartitioned(spark, sf_dir):
+    """Corpus counts join back to the token stream co-partitioned on tok:
+    exactly one exchange carries the exploded stream, one the final doc
+    fold."""
+    plan = plan_of(QUERIES["text_rarity_score"](spark, sf_dir), mode="simple")
+    assert "hashpartitioning(tok" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_topk_uses_heap_topk_and_broadcast_stats(spark, sf_dir):
+    """BM25 global top-10 must be per-partition heaps
+    (TakeOrderedAndProject), with every corpus statistic arriving as a
+    1-row broadcast — no global sort, no shuffled stats join."""
+    plan = plan_of(QUERIES["text_bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
