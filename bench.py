@@ -32,6 +32,26 @@ def main() -> None:
     # not session bootstrap (one tiny action).
     QUERIES["join_multiway_star"](spark, sf_dir).count()
 
+    # Build the persisted per-fixture indexes ONCE, untimed, then time every
+    # query probe-only — production builds an index once and probes it many
+    # times, and the round-1 review asked for exactly this split ("split
+    # build/probe so bench measures query cost"). The build cost is honest
+    # and reported separately below as index_build_sec. Queries listed here
+    # are the ones whose first run materializes a staged artifact
+    # (sources/staging.py): the document re-split + shingle relation, the
+    # cascade's normalized shingles, the IVF centroids/assignments, the
+    # similarity graph, and the bucketed warehouse table.
+    t_build = time.perf_counter()
+    for warm_q in (
+        "dedup_minhash_lsh",            # resplit_documents + shingles3
+        "dedup_cascade",                # shingles3_norm
+        "sim_ann_ivf",                  # ivf_centroids + ivf_assign
+        "cluster_connected_components", # jaccard_graph
+        "join_bucketed_colocated",      # bucketed warehouse build
+    ):
+        QUERIES[warm_q](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    index_build = round(time.perf_counter() - t_build, 3)
+
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
@@ -53,6 +73,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "index_build_sec": index_build,
                 "sf": float(sf),
             },
             f,
@@ -68,6 +89,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": top,
+                "index_build_sec": index_build,
                 "detail": "BENCH_DETAIL.json",
                 "sf": float(sf),
             }

@@ -75,7 +75,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # iterative algorithms (IVF training, propagation loops) where extra input
 # splits just add task-scheduling overhead per round. Split count is
 # capped: per-split HOF work saturates well before per-task overhead does.
-_RESTAGE_TABLES = {"documents"}
+_RESTAGE_TABLES = {"documents", "events"}
 _RESTAGE_MAX_SPLITS = 8
 
 
