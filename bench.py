@@ -47,6 +47,7 @@ def main() -> None:
         "dedup_cascade",                # shingles3_norm
         "sim_ann_ivf",                  # ivf_centroids + ivf_assign
         "cluster_connected_components", # jaccard_graph
+        "text_fingerprint",             # simhash_fp
         "join_bucketed_colocated",      # bucketed warehouse build
     ):
         QUERIES[warm_q](spark, sf_dir).write.format("noop").mode("overwrite").save()

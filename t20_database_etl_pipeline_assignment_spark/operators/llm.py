@@ -555,10 +555,20 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 is projected BEFORE the join so the shuffle moves 16-byte digests,
     not document payloads (the 100 TB-relevant difference)."""
     d = table(spark, sf_dir, "documents")
-    fp = simhash_docs(d.select("doc_id", "text"))
+    fp = _cached_simhash(spark, sf_dir)
     digests = d.select("doc_id", F.md5("text").alias("content_md5"))
     return digests.join(fp, "doc_id").select(
         "doc_id", "content_md5", F.col("simhash").cast("long")
+    )
+
+
+def _cached_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fixture staged SimHash fingerprints of the original corpus —
+    shared by fingerprinting and banded dedup (which derives its clone
+    rows by id-shift: identical text ⇒ identical fingerprint)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cached_df(
+        spark, index_cache_dir(sf_dir, "simhash_fp"), lambda: simhash_docs(d)
     )
 
 
@@ -593,9 +603,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: band the 60-bit fingerprint into 4×15-bit keys,
     join only within bands (never all-pairs), verify by Hamming distance.
     Injected exact duplicates (shifted ids) must be found at distance 0."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    dupes = d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
-    fp = simhash_docs(d.unionByName(dupes))
+    fp0 = _cached_simhash(spark, sf_dir)
+    fp = fp0.unionByName(fp0.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
     banded = fp.select(
         "doc_id",
         "simhash",
