@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 
 from ..exprs import money_sum, scaled_long, sql_money_sum
 from ..registry import query
+from ..sources import python_source
 from ..sources.tables import table
 
 
@@ -526,4 +527,39 @@ def scan_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
         F.regexp_extract("path", "[^/]+$", 0).alias("file_name"),
         "length",
         "content",
+    )
+
+
+@query(
+    "scan_python_datasource",
+    oracle=f"""
+SELECT CAST(i % {python_source.SYNTH_GROUPS} AS INT) AS grp,
+       COUNT(*) AS n_rows,
+       CAST(SUM((i * {python_source.SYNTH_MULT}) % {python_source.SYNTH_MOD}) AS BIGINT)
+         AS sum_amount,
+       CAST(MIN((i * {python_source.SYNTH_MULT}) % {python_source.SYNTH_MOD}) AS BIGINT)
+         AS min_amount,
+       CAST(MAX((i * {python_source.SYNTH_MULT}) % {python_source.SYNTH_MOD}) AS BIGINT)
+         AS max_amount
+FROM range(0, {python_source.SYNTH_ROWS}) t(i)
+GROUP BY 1
+""",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source scan (Spark 4 extension API) — the
+    connector surface for feeds with no built-in source. The reader plans
+    8 InputPartitions (one task each, a shard-per-partition ingest), and
+    the generated stream is pure integer arithmetic, so the DuckDB oracle
+    replays it exactly from range(). See sources/python_source.py for the
+    scale framing; this is intentionally the only row-at-a-time Python
+    scan in the repo, quarantined the same way as the §2.K UDF surface."""
+    from ..sources.python_source import SynthRowsDataSource
+
+    spark.dataSource.register(SynthRowsDataSource)
+    rows = spark.read.format("t20_synth").load()
+    return rows.groupBy(F.col("grp").cast("int").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("amount").alias("sum_amount"),
+        F.min("amount").alias("min_amount"),
+        F.max("amount").alias("max_amount"),
     )
