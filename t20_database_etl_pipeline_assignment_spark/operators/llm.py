@@ -706,26 +706,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     use dedup_minhash_lsh and verify only its candidates this way."""
     sh = cloned_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Size-compatibility pruning (PPJoin-style): J(a,b) >= t forces
+    # t*max(sz) <= min(sz) (intersection <= min, union >= max), so pairs
+    # whose shingle-set sizes differ by more than 1/t never need counting.
+    # The bound is exact integer arithmetic (3*sz_b <= 5*sz_a for t=0.6),
+    # applied as a residual on the hash join — it prunes the inverted-index
+    # fan-out BEFORE the pair aggregation, which at 100 TB is the
+    # difference between counting every hot-shingle pair and only the
+    # plausibly-similar ones. Provably semantics-preserving, so the oracle
+    # is unchanged.
+    szd = sh.join(F.broadcast(sizes), "doc_id")
+    a = szd.alias("a")
+    b = szd.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.lit(3) * F.col("b.sz") <= F.lit(5) * F.col("a.sz"))
+            & (F.lit(3) * F.col("a.sz") <= F.lit(5) * F.col("b.sz")),
         )
         .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    j = (
-        inter.join(sa, F.col("doc1") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
-        .withColumn(
-            "jacc_raw",
-            F.col("i") / (F.lit(1.0) * (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))),
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first(F.col("a.sz")).alias("sz1"),
+            F.first(F.col("b.sz")).alias("sz2"),
         )
+    )
+    j = inter.withColumn(
+        "jacc_raw",
+        F.col("i") / (F.lit(1.0) * (F.col("sz1") + F.col("sz2") - F.col("i"))),
     )
     return j.filter(F.col("jacc_raw") >= 0.6).select(
         "doc1", "doc2", F.round("jacc_raw", 6).alias("jaccard")

@@ -310,22 +310,28 @@ def _cached_sym_graph(spark: SparkSession, sf_dir: str, docs: DataFrame) -> Data
     def build_edges() -> DataFrame:
         sh = cloned_shingles(spark, sf_dir)
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-        a, b = sh.alias("a"), sh.alias("b")
+        # size-compatibility pruning on the residual (see dedup_ngram_jaccard)
+        szd = sh.join(F.broadcast(sizes), "doc_id")
+        a, b = szd.alias("a"), szd.alias("b")
         inter = (
             a.join(
                 b,
                 (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.lit(3) * F.col("b.sz") <= F.lit(5) * F.col("a.sz"))
+                & (F.lit(3) * F.col("a.sz") <= F.lit(5) * F.col("b.sz")),
             )
             .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-            .agg(F.count(F.lit(1)).alias("i"))
+            .agg(
+                F.count(F.lit(1)).alias("i"),
+                F.first(F.col("a.sz")).alias("sz1"),
+                F.first(F.col("b.sz")).alias("sz2"),
+            )
         )
         edges = (
-            inter.join(sizes.alias("sa"), F.col("doc1") == F.col("sa.doc_id"))
-            .join(sizes.alias("sb"), F.col("doc2") == F.col("sb.doc_id"))
-            .filter(
+            inter.filter(
                 F.col("i")
-                / (F.lit(1.0) * (F.col("sa.sz") + F.col("sb.sz") - F.col("i")))
+                / (F.lit(1.0) * (F.col("sz1") + F.col("sz2") - F.col("i")))
                 >= 0.6
             )
             .select("doc1", "doc2")
