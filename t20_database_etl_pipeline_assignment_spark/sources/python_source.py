@@ -15,7 +15,12 @@ key ranges, and parallelism is the partition count, not executor count.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SYNTH_ROWS = 50_000
 SYNTH_PARTITIONS = 8
@@ -39,6 +44,11 @@ class SynthRowsDataSource(DataSource):
     def reader(self, schema) -> "SynthRowsReader":
         n = int(self.options.get("n", SYNTH_ROWS))
         return SynthRowsReader(n)
+
+    def simpleStreamReader(self, schema) -> "SynthRowsStreamReader":
+        n = int(self.options.get("n", SYNTH_ROWS))
+        chunk = int(self.options.get("chunk", 10_000))
+        return SynthRowsStreamReader(n, chunk)
 
 
 class SynthRowsReader(DataSourceReader):
@@ -70,3 +80,30 @@ class SynthRowsReader(DataSourceReader):
             ],
             names=["i", "grp", "amount"],
         )
+
+
+class SynthRowsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same feed: the offset is the next row index,
+    each microbatch drains up to `chunk` rows, and the stream is exhausted
+    at n — so `trigger(availableNow=True)` terminates and the accumulated
+    result must equal the batch read (pinned in tests/test_streaming.py).
+    Checkpointed restarts resume from the committed offset dict, exactly
+    like a paginated service client resuming from a cursor."""
+
+    def __init__(self, n: int, chunk: int) -> None:
+        self.n = n
+        self.chunk = chunk
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.chunk, self.n)
+        # a list-iterator: the prefetch path both next()s it and pickles it
+        # (generators don't pickle; bare lists aren't iterators)
+        rows = [
+            (i, i % SYNTH_GROUPS, (i * SYNTH_MULT) % SYNTH_MOD)
+            for i in range(lo, hi)
+        ]
+        return iter(rows), {"next": hi}

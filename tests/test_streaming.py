@@ -248,3 +248,47 @@ def test_foreachbatch_upsert_serving_store(spark, sf_dir, tmp_path):
     )
     want = _rows(batch, ["user_id", "event_id"])
     assert got == want
+
+
+def test_python_stream_source_matches_batch(spark, sf_dir):
+    """The custom Python streaming source (SimpleDataSourceStreamReader)
+    drained with availableNow must equal the batch read of the same
+    deterministic feed: every microbatch advances the cursor offset by one
+    chunk, and the union of batches is exactly the row stream."""
+    from t20_database_etl_pipeline_assignment_spark.sources.python_source import (
+        SynthRowsDataSource,
+    )
+
+    spark.dataSource.register(SynthRowsDataSource)
+    n = 2_000
+    stream = (
+        spark.readStream.format("t20_synth")
+        .option("n", str(n))
+        .option("chunk", "700")  # 3 partial chunks — exercises the cursor
+        .load()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("amount").alias("sum_amount"))
+    )
+    # availableNow would snapshot only the first prefetched chunk of a
+    # simple stream reader; processAllAvailable drains until read() returns
+    # an empty batch at the exhausted cursor.
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t20_synth_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t20_synth_stream")
+    want = (
+        spark.read.format("t20_synth")
+        .option("n", str(n))
+        .load()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("amount").alias("sum_amount"))
+    )
+    cols = ["grp", "n_rows", "sum_amount"]
+    assert _rows(got, cols) == _rows(want, cols)
