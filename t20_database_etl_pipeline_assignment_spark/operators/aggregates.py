@@ -702,3 +702,51 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("bits")).alias("n_users"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+@query(
+    "agg_sketch_union",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       TRUE AS hll_within_5pct,
+       TRUE AS theta_within_5pct
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch workflow (Apache DataSketches, Spark 3.5+): build
+    per-(type, day) HLL and Theta sketches — the shape a 100 TB pipeline
+    persists per partition — then union across days and estimate, the way
+    a dashboard rolls up any date range without rescanning events. Both
+    sketch families are hash-based and RNG-free, so estimates are
+    deterministic; the driver-facing columns are the exact counts plus
+    guarantee booleans (estimate within 5% — a broken sketch/union path
+    turns the row red), because raw sketch bytes are engine-specific.
+    Union state is tiny and associative: re-aggregating N daily sketches
+    moves N×|sketch| bytes, never the event log."""
+    e = table(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("hll"),
+        F.theta_sketch_agg("user_id").alias("theta"),
+        F.countDistinct("user_id").alias("nd"),
+        F.count(F.lit(1)).alias("ne"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(hll))").alias("hll_est"),
+        F.expr("theta_sketch_estimate(theta_union_agg(theta))").alias("theta_est"),
+        F.sum("ne").alias("n_events"),
+    )
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+    ok = lambda est: (  # noqa: E731
+        F.abs(F.col(est) - F.col("n_users")) <= F.lit(0.05) * F.col("n_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_users",
+        "n_events",
+        ok("hll_est").alias("hll_within_5pct"),
+        ok("theta_est").alias("theta_within_5pct"),
+    )

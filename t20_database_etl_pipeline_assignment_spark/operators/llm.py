@@ -1004,6 +1004,103 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
 
 
+_MATRYOSHKA_DIMS = 16
+_MATRYOSHKA_K = 10
+
+
+@query(
+    "emb_matryoshka_recall",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({SQL_COSINE.format(a="q.q_emb", b="e.embedding")}, 6) AS sim_full,
+         round({SQL_COSINE.format(a=f"list_slice(q.q_emb, 1, {_MATRYOSHKA_DIMS})",
+                                  b=f"list_slice(e.embedding, 1, {_MATRYOSHKA_DIMS})")}, 6)
+           AS sim_pref
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim_full DESC, neighbor_id ASC) AS rn_full,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim_pref DESC, neighbor_id ASC) AS rn_pref
+  FROM scored),
+ov AS (
+  SELECT a.query_id, COUNT(*) AS n
+  FROM (SELECT query_id, neighbor_id FROM ranked WHERE rn_full <= {_MATRYOSHKA_K}) a
+  JOIN (SELECT query_id, neighbor_id FROM ranked WHERE rn_pref <= {_MATRYOSHKA_K}) b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY a.query_id)
+SELECT q.query_id,
+       CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+       COALESCE(ov.n, 0) / {float(_MATRYOSHKA_K)} AS recall
+FROM q LEFT JOIN ov ON q.query_id = ov.query_id
+""",
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: recall@10 of a 16-dim-prefix index
+    against the full 64-dim ranking, per query — the measurement that
+    decides how far MRL-style embeddings can be truncated before the
+    cheap index stops finding the true neighbors.
+
+    One scored pass computes both cosines (full and renormalized prefix —
+    the slice changes the norm, so each similarity has its own exact fold),
+    two rank windows partition on the tiny query id, and the overlap join
+    is per-query integer counting. At 100 TB the prefix ranking would come
+    from the truncated ANN index (sim_ann_*); this operator is the quality
+    gate you run on a sample before flipping traffic to it."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pref = lambda c: F.slice(c, 1, _MATRYOSHKA_DIMS)  # noqa: E731
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("sim_full"),
+            F.round(
+                cosine(pref(F.col("q_emb")), pref(F.col("embedding"))), 6
+            ).alias("sim_pref"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_full"), F.asc("neighbor_id")
+    )
+    w_pref = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_pref"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_full).alias("rn_full"),
+        F.row_number().over(w_pref).alias("rn_pref"),
+    )
+    top_full = ranked.filter(F.col("rn_full") <= _MATRYOSHKA_K).select(
+        "query_id", "neighbor_id"
+    )
+    top_pref = ranked.filter(F.col("rn_pref") <= _MATRYOSHKA_K).select(
+        "query_id", "neighbor_id"
+    )
+    ov = (
+        top_full.join(top_pref, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = F.coalesce(F.col("n"), F.lit(0))
+    # zero-overlap queries still report (recall 0), not vanish
+    return q.select("query_id").join(ov, "query_id", "left").select(
+        "query_id",
+        n.cast("long").alias("n_overlap"),
+        (n / F.lit(float(_MATRYOSHKA_K))).alias("recall"),
+    )
+
+
 _PAIR_BLOCK_DEFAULT = 1024
 
 
