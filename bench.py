@@ -49,6 +49,9 @@ def main() -> None:
         "cluster_connected_components", # jaccard_graph
         "text_fingerprint",             # simhash_fp
         "join_bucketed_colocated",      # bucketed warehouse build
+        # not an index: first Python-source/UDF use pays one-time Python
+        # worker bootstrap (~5 s), same class of cost as the JVM warmup
+        "scan_python_datasource",
     ):
         QUERIES[warm_q](spark, sf_dir).write.format("noop").mode("overwrite").save()
     index_build = round(time.perf_counter() - t_build, 3)
