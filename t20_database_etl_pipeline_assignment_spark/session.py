@@ -30,7 +30,15 @@ def get_spark(app_name: str = "t20-etl-spark") -> SparkSession:
         .master(f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
         # Modest static number; AQE coalesces down / splits skew at runtime.
-        .config("spark.sql.shuffle.partitions", "32")
+        # 16 measured fastest across the whole suite at sf0.1 on 32 cores
+        # (32: 87 s, 16: 73 s, 8: 79 s) — task-scheduling overhead dominates
+        # below ~10 MB/partition, parallelism starves above it. At 100 TB
+        # this knob scales with data volume (or is left to AQE entirely);
+        # the env override exists so a cluster profile can set it.
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("T20_SHUFFLE_PARTITIONS", "16"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
