@@ -782,14 +782,20 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB and routes only high-dup_frac docs into the quadratic
     verifiers. dup_frac is exact-integer counts with one final IEEE
     division (engine-identical)."""
+    return span_dup_stats(table(spark, sf_dir, "documents"), n=_SPAN_N)
+
+
+def span_dup_stats(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
+    """The span-dup kernel: input (doc_id, text), output per-doc distinct
+    n-token-span counts and the duplicated fraction. Separated from the
+    fixture scan so tests can model-check it on generated corpora."""
     toks = _tokens()
-    parts = [F.slice(toks, i + 1, F.size(toks) - _SPAN_N + 1) for i in range(_SPAN_N)]
+    parts = [F.slice(toks, i + 1, F.size(toks) - n + 1) for i in range(n)]
     span = parts[0]
     for p in parts[1:]:
         span = F.zip_with(span, p, lambda x, y: F.concat_ws(" ", x, y))
-    d = table(spark, sf_dir, "documents")
     sp = (
-        d.filter(F.size(toks) >= _SPAN_N)
+        docs.filter(F.size(toks) >= n)
         .select("doc_id", F.explode(span).alias("span"))
         .distinct()
     )

@@ -197,3 +197,58 @@ def test_binaryfile_source_roundtrip(spark, tmp_path):
         assert r.payload_sha256 == hashlib.sha256(b).hexdigest()
         assert r.n_bytes == len(b)
         assert r.header_hex == b[:4].hex().upper()
+
+
+# ---------------------------------------------------------------------------
+# Property-based model check of the span-dedup kernel
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from t20_database_etl_pipeline_assignment_spark.operators.llm import (  # noqa: E402
+    span_dup_stats,
+)
+
+# tiny vocabulary + short docs force heavy span collisions; lengths straddle
+# the n=3 span width so sub-width docs must vanish from the output entirely
+_word_st = st.sampled_from(["a", "b", "c"])
+_doc_st = st.lists(_word_st, min_size=1, max_size=8)
+_corpus_st = st.lists(_doc_st, min_size=1, max_size=6)
+
+
+def _span_model(corpus, n):
+    """O(docs²·len²) reference: distinct n-token spans per doc, and how
+    many of them occur in at least one other doc."""
+    spans = [
+        {" ".join(doc[i : i + n]) for i in range(len(doc) - n + 1)}
+        if len(doc) >= n
+        else None
+        for doc in corpus
+    ]
+    out = {}
+    for did, sp in enumerate(spans):
+        if sp is None:
+            continue
+        dup = sum(
+            1
+            for s in sp
+            if any(o is not None and oid != did and s in o for oid, o in enumerate(spans))
+        )
+        out[did] = (len(sp), dup)
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=_corpus_st)
+def test_span_kernel_agrees_with_model(spark, corpus):
+    n = 3
+    docs = spark.createDataFrame(
+        [(i, " ".join(doc)) for i, doc in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_distinct, r.n_dup)
+        for r in span_dup_stats(docs, n=n).collect()
+    }
+    assert got == _span_model(corpus, n)
