@@ -595,3 +595,66 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+WITH {_SQL_JACCARD_GRAPH},
+e AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+pts AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri),
+per AS (SELECT node, COUNT(*) AS n FROM pts GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n, 0) AS BIGINT) AS n_triangles
+FROM docs_in d LEFT JOIN per ON d.doc_id = per.node
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup similarity graph — the
+    clustering-coefficient numerator that separates tight duplicate
+    cliques (every pair similar) from chain-shaped near-dup drift (A~B~C
+    but A≁C), which need different dedup treatment.
+
+    Id-oriented edge enumeration (a<b<c) counts each triangle once via two
+    co-partitioned hash joins on node keys — never an all-pairs expansion.
+    At 100 TB the standard refinement is degree orientation (point each
+    edge at its higher-degree endpoint) so a celebrity node's fan-out is
+    bounded by its lower-degree neighbors; the join shape is unchanged.
+    The graph is the persisted .index_cache artifact shared with
+    connected-components and PageRank: built once, walked many times."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    sym = _cached_sym_graph(spark, sf_dir, docs)
+    e = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+        )
+    )
+    pts = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    per = pts.groupBy("node").agg(F.count(F.lit(1)).alias("n"))
+    return docs.select("doc_id").join(
+        per, docs["doc_id"] == per["node"], "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_triangles")
+    )
