@@ -534,3 +534,143 @@ def dq_expect(df: DataFrame, rules: dict[str, Column], max_violations: int = 0) 
             f"data-quality gate failed (budget {max_violations}): {failed}"
         )
     return df
+
+
+@query(
+    "scd3_apply",
+    oracle=f"""
+WITH tgt AS ({_SQL_TGT}), stg AS ({_SQL_STG})
+SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+       COALESCE(s.c_name, t.c_name) AS c_name,
+       COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+       CASE WHEN s.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL
+                 AND s.c_acctbal IS DISTINCT FROM t.c_acctbal
+            THEN t.c_acctbal END AS prev_acctbal
+FROM tgt t FULL OUTER JOIN stg s ON t.c_custkey = s.c_custkey
+""",
+)
+def q_scd3_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 3: keep the prior value in a sibling column instead of a
+    history row (completes the reference's SCD 1/2 family,
+    README.md:6, with the third Kimball type). One full-outer hash join on
+    the business key; a changed attribute moves current→prev in place, new
+    members arrive with no history. Bounded history by construction (one
+    prior value), so the dimension never grows with change rate — the
+    trade that makes Type 3 the choice for mass one-off restatements."""
+    target, staged = _target_staged(spark, sf_dir)
+    t, s = target.alias("t"), staged.alias("s")
+    changed = (
+        F.col("s.c_custkey").isNotNull()
+        & F.col("t.c_custkey").isNotNull()
+        & ~F.col("s.c_acctbal").eqNullSafe(F.col("t.c_acctbal"))
+    )
+    return t.join(s, F.col("t.c_custkey") == F.col("s.c_custkey"), "full_outer").select(
+        F.coalesce(F.col("s.c_custkey"), F.col("t.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("s.c_name"), F.col("t.c_name")).alias("c_name"),
+        F.coalesce(F.col("s.c_acctbal"), F.col("t.c_acctbal")).alias("c_acctbal"),
+        F.when(changed, F.col("t.c_acctbal")).alias("prev_acctbal"),
+    )
+
+
+@query(
+    "dim_infer_member",
+    oracle="""
+WITH dim AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+             WHERE c_custkey % 2 = 0)
+SELECT c_custkey, c_name, c_acctbal, FALSE AS is_inferred FROM dim
+UNION ALL
+SELECT DISTINCT o.o_custkey AS c_custkey,
+       '<inferred>' AS c_name,
+       CAST(NULL AS DOUBLE) AS c_acctbal,
+       TRUE AS is_inferred
+FROM orders o LEFT JOIN dim c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+""",
+)
+def dim_infer_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension (Kimball "inferred member"): facts that
+    reference a dimension key not yet delivered get a placeholder row so
+    the fact load never drops or orphans rows; the real attributes SCD1-
+    overwrite the placeholder when the dimension feed catches up.
+
+    Shape: distinct unknown keys via a left-anti hash join from facts to
+    dim (at 100 TB: facts shuffle on the key they already join on; the
+    distinct collapses map-side), then a union with the placeholder
+    projection. The is_inferred flag is the audit trail the backfill job
+    keys on."""
+    dim = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .filter(F.col("c_custkey") % 2 == 0)
+    )
+    facts = table(spark, sf_dir, "orders").select("o_custkey")
+    unknown = (
+        facts.join(dim, facts["o_custkey"] == dim["c_custkey"], "left_anti")
+        .distinct()
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.lit("<inferred>").alias("c_name"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+            F.lit(True).alias("is_inferred"),
+        )
+    )
+    return dim.withColumn("is_inferred", F.lit(False)).unionByName(unknown)
+
+
+@query(
+    "fuzzy_conform_levenshtein",
+    oracle="""
+WITH dirty AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 3 = 0 THEN n_name || 'X' ELSE n_name END
+           AS raw_name
+  FROM nation),
+cand AS (
+  SELECT d.n_nationkey, d.raw_name, r.n_name AS matched_name,
+         levenshtein(d.raw_name, r.n_name) AS dist
+  FROM dirty d JOIN nation r
+    ON levenshtein(d.raw_name, r.n_name) <= 1),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY n_nationkey
+                               ORDER BY dist ASC, matched_name ASC) AS rn
+  FROM cand)
+SELECT n_nationkey, raw_name, matched_name, CAST(dist AS BIGINT) AS dist
+FROM best WHERE rn = 1
+""",
+)
+def fuzzy_conform_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dimension conformance: map dirty incoming names (here nation
+    names with an injected trailing character on every third key) to the
+    canonical reference list by edit distance ≤ 1, best match per record
+    with deterministic tie-break — the name-cleanup stage in front of an
+    exact dimension join.
+
+    The reference list broadcasts (conformance targets are small by
+    construction); each dirty record scans only the broadcast side, so the
+    100 TB dirty stream never shuffles. At larger reference lists the
+    candidate space is bounded by length-band + first-char blocking before
+    the distance evaluation — same plan shape, keyed broadcast."""
+    nat = table(spark, sf_dir, "nation")
+    dirty = nat.select(
+        "n_nationkey",
+        F.when(
+            F.col("n_nationkey") % 3 == 0, F.concat(F.col("n_name"), F.lit("X"))
+        )
+        .otherwise(F.col("n_name"))
+        .alias("raw_name"),
+    )
+    ref = nat.select(F.col("n_name").alias("matched_name"))
+    dist = F.levenshtein(F.col("raw_name"), F.col("matched_name"))
+    cand = (
+        dirty.crossJoin(F.broadcast(ref))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= 1)
+    )
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.asc("dist"), F.asc("matched_name")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_nationkey", "raw_name", "matched_name", F.col("dist").cast("long").alias("dist"))
+    )
