@@ -359,3 +359,52 @@ def interval_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("peak_at_us").cast("long"),
         )
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       COUNT(*) AS n_transitions,
+       COUNT(*) / (1.0 * SUM(COUNT(*)) OVER (PARTITION BY event_type))
+         AS p_next
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov matrix: for each user-stream
+    transition A→B, the count and the conditional probability P(B | A) —
+    the sequence-mining summary behind next-action prediction and anomaly
+    screens (a transition whose probability collapses week-over-week is a
+    funnel break).
+
+    One lag window partitioned on user_id (the stream's natural key), one
+    partial-aggregable count on the tiny (from, to) key, and the
+    normalizing row-total as a window over the |types|² result — nothing
+    larger than the type-pair matrix ever shuffles twice. The probability
+    is one float division of exact integer counts, identical in both
+    engines."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    w_tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions")
+            / (F.lit(1.0) * F.sum("n_transitions").over(w_tot))
+        ).alias("p_next"),
+    )
