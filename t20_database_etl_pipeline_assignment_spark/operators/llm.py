@@ -651,20 +651,23 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
-def cloned_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingles of the corpus ∪ its id-shifted clone, from the staged
-    per-fixture shingle artifact.
-
-    The whole dedup family (exact-Jaccard, MinHash-LSH, the similarity
-    graph) consumes the same (doc_id, shingle) relation — in a 100 TB
-    curation run shingle extraction is a staged pipeline artifact computed
-    once, not re-tokenized by every consumer. Clone shingles need no
-    recompute: the clone's text is identical, so they are the same rows
-    under doc_id+1000000."""
+def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged per-fixture (doc_id, shingle) artifact over the plain
+    corpus. The whole dedup family (exact-Jaccard, MinHash-LSH, the
+    similarity graph, the incremental path) consumes this one relation —
+    in a 100 TB curation run shingle extraction is a staged pipeline
+    artifact computed once, not re-tokenized by every consumer."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = _cached_df(
+    return _cached_df(
         spark, _index_cache_dir(sf_dir, "shingles3"), lambda: shingles(d)
     )
+
+
+def cloned_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingles of the corpus ∪ its id-shifted clone. Clone shingles need
+    no recompute: the clone's text is identical, so they are the same rows
+    under doc_id+1000000."""
+    sh = corpus_shingles(spark, sf_dir)
     return sh.unionByName(sh.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
 
 
@@ -739,6 +742,117 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.filter(F.col("jacc_raw") >= 0.6).select(
         "doc1", "doc2", F.round("jacc_raw", 6).alias("jaccard")
+    )
+
+
+def _minhash_banded(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_val) LSH keys from a (doc_id, shingle) relation
+    — the same 16-permutation / 4×4-band construction as
+    dedup_minhash_lsh, shared by the incremental path."""
+    rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+            for i in range(_MINHASH_PERMS)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_val"),
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.band_val")
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+WITH docs_in AS (SELECT doc_id, text FROM documents),
+{_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT n.doc_id AS new_id, h.doc_id AS dup_of, COUNT(*) AS i
+  FROM shing n JOIN shing h ON n.shingle = h.shingle
+  WHERE n.doc_id % 5 = 0 AND h.doc_id % 5 <> 0
+  GROUP BY 1, 2)
+SELECT new_id, dup_of,
+       round(i / (1.0 * (sa.sz + sb.sz - i)), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON new_id = sa.doc_id
+JOIN sizes sb ON dup_of = sb.doc_id
+WHERE round(i / (1.0 * (sa.sz + sb.sz - i)), 6) >= 0.5
+""",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup — the PRODUCTION mode: today's batch
+    (doc_id % 5 == 0 stands in for the increment) probes the persisted
+    band index of the historical corpus (the % 5 != 0 slice). Candidates
+    come only from incoming×historical band collisions — never
+    incoming×incoming or historical×historical — so daily cost is
+    O(batch + collisions) no matter how large the accumulated corpus is,
+    and the band index is exactly the artifact the full dedup pass
+    already persists (.index_cache). Verification is exact Jaccard on the
+    candidate pairs; the oracle replays the exact cross-slice answer at
+    the same threshold (LSH recall 1.0 on these fixtures, same argument
+    as dedup_minhash_lsh)."""
+    sh_all = corpus_shingles(spark, sf_dir)
+    hist_sh = sh_all.filter(F.col("doc_id") % 5 != 0)
+    new_sh = sh_all.filter(F.col("doc_id") % 5 == 0)
+    hist_bands = cached_df(
+        spark,
+        index_cache_dir(sf_dir, "minhash_bands_hist"),
+        lambda: _minhash_banded(hist_sh),
+    )
+    new_bands = _minhash_banded(new_sh)
+    cand = (
+        new_bands.alias("n")
+        .join(
+            hist_bands.alias("h"),
+            (F.col("n.band") == F.col("h.band"))
+            & (F.col("n.band_val") == F.col("h.band_val")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("h.doc_id").alias("dup_of"))
+        .distinct()
+    )
+    sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa, sb = new_sh.alias("sa"), hist_sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("new_id") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("dup_of") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("new_id", "dup_of")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    return (
+        inter.join(za, F.col("new_id") == F.col("za.doc_id"))
+        .join(zb, F.col("dup_of") == F.col("zb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i")
+                / (F.lit(1.0) * (F.col("za.sz") + F.col("zb.sz") - F.col("i"))),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("new_id", "dup_of", "jaccard")
     )
 
 
