@@ -750,3 +750,39 @@ def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("hll_est").alias("hll_within_5pct"),
         ok("theta_est").alias("theta_within_5pct"),
     )
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+WITH b AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders)
+SELECT bucket, COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM b GROUP BY bucket
+""",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram: 10 buckets holding equal row
+    counts with their value bounds — the statistics shape cost-based
+    optimizers and skew diagnostics actually want (equi-WIDTH buckets,
+    agg_histogram, collapse under heavy tails; equi-depth adapts bucket
+    width to density). NTILE over a composite order (value, key) makes
+    bucket assignment deterministic under duplicate values in both
+    engines.
+
+    Scale note: a full-data NTILE is a global sort; at 100 TB the same
+    histogram is built from approx_percentile bucket bounds on a sample
+    (one pass, mergeable), with this exact formulation as the
+    verification path — the same exact/approximate split as the dedup
+    family."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
