@@ -34,7 +34,19 @@ def index_cache_dir(sf_dir: str, kind: str) -> str:
             h.update(f"{p.name}:{st.st_size}:{st.st_mtime_ns};".encode())
     except OSError:
         pass
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}-{h.hexdigest()[:12]}"
+    base = os.path.basename(os.path.normpath(sf_dir))
+    key = f"{base}-{h.hexdigest()[:12]}"
+    # prune artifact trees from PREVIOUS fixture generations (same sf dir,
+    # different fingerprint): they can never be read again — any process
+    # that could still want them saw the old files, which no longer exist
+    try:
+        for entry in os.listdir(root):
+            if entry.startswith(f"{base}-") and entry != key:
+                import shutil
+
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    except OSError:
+        pass
     return os.path.join(root, key, kind)
 
 
