@@ -649,3 +649,90 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+_BLOOM_BITS = 1 << 20  # 1M bits → 16k 64-bit words
+_BLOOM_HASHES = 3
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+SELECT o.o_custkey AS c_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS spend_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_custkey
+""",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime-filter join: a Bloom filter built from the
+    filtered dimension's keys prunes fact rows BEFORE the join — the
+    row-level runtime filtering engines apply when the dimension predicate
+    is selective but the fact scan can't push it down. The Bloom pass is a
+    pure optimization: false positives die in the exact join that
+    follows, so the result — and the oracle — is the plain join, which is
+    the whole point of the pattern.
+
+    Construction is engine-exact and shuffle-light: keys hash into
+    3 positions of a 2^20-bit array stored as 64-bit words
+    (bit_or aggregate per word — the same mergeable-bitmap machinery as
+    agg_bitmap_distinct); the word table (16k rows) broadcasts, and each
+    probe is {_BLOOM_HASHES} broadcast lookups + bit tests fused into the
+    fact scan projection. At 100 TB the filter ships once per executor
+    (128 KB) while the dimension hash table for the real join may be
+    orders of magnitude larger after attributes — the asymmetry that
+    makes the prefilter pay."""
+    dim = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    fact = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def positions(key: Column) -> list[Column]:
+        return [
+            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(_BLOOM_BITS))
+            for i in range(_BLOOM_HASHES)
+        ]
+
+    # build: (word_idx, or-of-bits) — one tiny shuffle on word_idx
+    bits = dim.select(
+        F.explode(F.array(*positions(F.col("c_custkey")))).alias("pos")
+    )
+    words = bits.groupBy(F.expr("pos div 64").alias("w")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        ).alias("bits")
+    )
+    # probe: 3 broadcast equi-joins on the word index, all bits must hit
+    probed = fact
+    for i, pos in enumerate(positions(F.col("o_custkey"))):
+        probed = (
+            probed.withColumn(f"_p{i}", pos)
+            .join(
+                F.broadcast(words.select(F.col("w").alias(f"_w{i}"),
+                                         F.col("bits").alias(f"_b{i}"))),
+                F.expr(f"_p{i} div 64") == F.col(f"_w{i}"),
+                "left",
+            )
+            .filter(
+                F.expr(
+                    f"coalesce((shiftright(_b{i}, CAST(_p{i} % 64 AS INT)) & 1), 0) = 1"
+                )
+            )
+            .drop(f"_p{i}", f"_w{i}", f"_b{i}")
+        )
+    # exact join kills Bloom false positives; result == plain join
+    return (
+        probed.join(F.broadcast(dim), probed["o_custkey"] == dim["c_custkey"])
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("spend_cents"),
+        )
+    )
