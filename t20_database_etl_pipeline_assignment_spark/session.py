@@ -46,9 +46,12 @@ def get_spark(app_name: str = "t20-etl-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("T20_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-        # reader rejects; read as long nanos and convert in the scan layer
-        # (sources/tables.py) — same ns→µs truncation DuckDB applies.
+        # Legacy-layout tolerance: earlier fixture generations wrote
+        # events.ts as TIMESTAMP(NANOS), which Spark's vectorized reader
+        # rejects; with this conf it reads as long nanos and the scan layer
+        # (sources/tables.py) converts — same ns→µs truncation DuckDB
+        # applies. Current fixtures are naive µs (read as TIMESTAMP_NTZ),
+        # where this conf is inert.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Bucketed-table warehouse (join_bucketed_colocated) lives in scratch
         # space, not the repo.
