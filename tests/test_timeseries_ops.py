@@ -134,3 +134,70 @@ def test_asof_kernel_agrees_with_model(spark, raw):
         for r in asof_attribute(df, tol_us=tol).collect()
     }
     assert got == _model(rows, tol)
+
+
+# ---------------------------------------------------------------------------
+# Property-based model check of the transition-matrix op (fixture-free)
+# ---------------------------------------------------------------------------
+
+_tm_event = st.tuples(
+    st.integers(min_value=1, max_value=3),       # user_id
+    st.sampled_from(["a", "b", "c"]),            # event_type
+    st.integers(min_value=0, max_value=5),       # ts step (dups exercised)
+)
+_tm_events = st.lists(_tm_event, min_size=2, max_size=14)
+
+
+def _tm_model(rows):
+    """Per-user streams ordered by (ts, event_id); count A→B transitions."""
+    from collections import Counter, defaultdict
+
+    streams = defaultdict(list)
+    for eid, (u, t, s) in enumerate(rows):
+        streams[u].append((s, eid, t))
+    counts = Counter()
+    for seq in streams.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    totals = Counter()
+    for (a, _), n in counts.items():
+        totals[a] += n
+    return {
+        (a, b): (n, n / totals[a]) for (a, b), n in counts.items()
+    }
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(raw=_tm_events)
+def test_transition_matrix_agrees_with_model(spark, raw):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    e = spark.createDataFrame(
+        [
+            (eid, u, t, base + dt.timedelta(minutes=s))
+            for eid, (u, t, s) in enumerate(raw)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = W.partitionBy("from_type")
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in counts.select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n") / (F.lit(1.0) * F.sum("n").over(tot))).alias("p"),
+        ).collect()
+    }
+    assert got == _tm_model(raw)
