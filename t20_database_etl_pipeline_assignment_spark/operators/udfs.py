@@ -130,3 +130,33 @@ def udtf_explode_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.doc_id, c.chunk_idx, c.chunk "
         "FROM t20_udtf_docs d, LATERAL t20_chunker(d.doc_id, d.text) c"
     )
+
+
+def _token_count_arrow(s: str) -> int:
+    """Whitespace token count (Arrow-optimized scalar UDF body)."""
+    if s is None:
+        return 0
+    return len(s.split())
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+FROM documents
+WHERE len(trim(text)) > 0
+""",
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 `useArrow=True`) — the
+    middle tier of the Python surface: row-at-a-time author experience,
+    Arrow-batched transfer (no per-row pickling), which is the default
+    recommendation when a plain Python UDF can't be avoided but the logic
+    doesn't vectorize. Completes the §2.K matrix alongside the pickled
+    UDF, the pandas UDF, applyInPandas, and the UDTF."""
+    count_tokens = udf(_token_count_arrow, returnType="long", useArrow=True)
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", count_tokens(F.trim(F.col("text"))).alias("n_tokens")
+    )

@@ -326,3 +326,40 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") - F.col("prev_price")) / F.col("prev_price"), 6
         ).alias("pct_change"),
     )
+
+
+@query(
+    "win_range_interval",
+    oracle="""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_7d,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+         / 100.0 AS sum_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+""",
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame with a calendar INTERVAL bound — the native
+    formulation of "last 7 days per user" (win_moving_avg shows the
+    epoch-seconds encoding of the same idea; this one keeps the frame in
+    time units, which also makes the peers-of-current-row semantics
+    explicit under duplicate timestamps). The frame is value-based, so
+    duplicate-ts rows share identical frames in both engines — no
+    tiebreak needed; the sum is the exact scaled-integer discipline.
+    One shuffle on user_id; frame evaluation is a per-partition sliding
+    pointer, not a per-row rescan."""
+    e = table(spark, sf_dir, "events")
+    return e.selectExpr(
+        "event_id",
+        "user_id",
+        "ts",
+        """COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+           AS n_7d""",
+        """SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) / 100.0D
+           AS sum_7d""",
+    )
