@@ -674,3 +674,80 @@ def fuzzy_conform_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("n_nationkey", "raw_name", "matched_name", F.col("dist").cast("long").alias("dist"))
     )
+
+
+@query(
+    "dq_reconcile_partitions",
+    oracle="""
+WITH src AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(SUM(o_orderkey * 2654435761 % 9007199254740881) AS BIGINT)
+           AS key_sig
+  FROM orders GROUP BY 1),
+tgt AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(
+             (o_totalprice + CASE WHEN o_orderkey % 5000 = 0
+                                  THEN 0.01 ELSE 0.0 END) * 100 + 0.5)
+           AS BIGINT)) AS BIGINT) AS cents,
+         CAST(SUM(o_orderkey * 2654435761 % 9007199254740881) AS BIGINT)
+           AS key_sig
+  FROM orders GROUP BY 1)
+SELECT src.y AS part_year,
+       src.n AS n_src, tgt.n AS n_tgt,
+       src.cents AS cents_src, tgt.cents AS cents_tgt,
+       src.n = tgt.n AS rows_match,
+       src.cents = tgt.cents AS sums_match,
+       src.key_sig = tgt.key_sig AS keys_match
+FROM src JOIN tgt ON src.y = tgt.y
+""",
+)
+def dq_reconcile_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-target reconciliation (reference README.md:12 "data
+    integrity and consistency"): after a load, compare per-partition row
+    counts, exact money checksums, and a key signature between source and
+    target — the report that catches silent truncation, double-loads, and
+    value drift without ever joining row-level data. The "target" here is
+    the source with a deterministic injected corruption (every 5000th
+    order's price off by a cent), so the report demonstrably flags the
+    affected partitions while clean partitions reconcile.
+
+    Both sides reduce to one partial-aggregable pass each (counts, exact
+    scaled-integer sums, modular key signature — all order-independent),
+    then a tiny per-partition join. At 100 TB this is the cheap check that
+    runs after EVERY load; row-level diffing only runs on partitions this
+    report flags."""
+    o = table(spark, sf_dir, "orders")
+    key_sig = F.sum(
+        F.expr("o_orderkey * 2654435761 % 9007199254740881")
+    ).alias("key_sig")
+    src = o.groupBy(F.year("o_orderdate").cast("long").alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents"),
+        key_sig,
+    )
+    corrupted = F.col("o_totalprice") + F.when(
+        F.col("o_orderkey") % 5000 == 0, F.lit(0.01)
+    ).otherwise(F.lit(0.0))
+    tgt = o.groupBy(F.year("o_orderdate").cast("long").alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(corrupted * 100 + F.lit(0.5)).cast("long")).alias("cents"),
+        key_sig,
+    )
+    s, t = src.alias("s"), tgt.alias("t")
+    return s.join(t, F.col("s.y") == F.col("t.y")).select(
+        F.col("s.y").alias("part_year"),
+        F.col("s.n").alias("n_src"),
+        F.col("t.n").alias("n_tgt"),
+        F.col("s.cents").alias("cents_src"),
+        F.col("t.cents").alias("cents_tgt"),
+        (F.col("s.n") == F.col("t.n")).alias("rows_match"),
+        (F.col("s.cents") == F.col("t.cents")).alias("sums_match"),
+        (F.col("s.key_sig") == F.col("t.key_sig")).alias("keys_match"),
+    )
