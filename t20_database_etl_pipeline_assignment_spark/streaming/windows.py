@@ -253,9 +253,10 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the same parquet the batch path reads.
-    Schema comes from a batch read (file streams require one); the ns→µs
-    conversion mirrors sources/tables.py. The file source wants a directory,
-    so the fixture file is symlinked into a scratch dir (read-only fixtures).
+    Schema comes from a batch read (file streams require one); the
+    legacy-nanos conversion mirrors sources/tables.py. The file source
+    wants a directory, so the fixture file is symlinked into a scratch dir
+    (read-only fixtures).
 
     `ts` is cast to the LTZ TimestampType here because Spark's watermark
     contract rejects TIMESTAMP_NTZ event-time columns
