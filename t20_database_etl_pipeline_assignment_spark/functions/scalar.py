@@ -389,3 +389,34 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("shifted_l"),
         F.shiftright(k, 3).alias("shifted_r"),
     )
+
+
+@query(
+    "fn_collation_group",
+    oracle="""
+WITH messy AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE p_type END AS t
+  FROM part)
+SELECT lower(t) AS type_lc, COUNT(*) AS n_parts
+FROM messy GROUP BY lower(t)
+""",
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 string collations
+    (UTF8_LCASE): the mixed-case feed (every even part key upper-cased)
+    groups to one row per logical type WITHOUT a lower() projection —
+    equality, hashing, and therefore the shuffle key all honor the
+    collation. The driver-facing key is lower(representative) so the
+    output is engine-deterministic (which case variant represents a
+    collated group is not contractual); the oracle groups by lower()
+    directly — identical partitions by construction."""
+    p = table(spark, sf_dir, "part")
+    messy = p.selectExpr(
+        "p_partkey",
+        "CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE p_type END"
+        " COLLATE UTF8_LCASE AS t",
+    )
+    return messy.groupBy("t").agg(F.count(F.lit(1)).alias("n_parts")).select(
+        F.lower(F.col("t")).alias("type_lc"), "n_parts"
+    )

@@ -363,3 +363,50 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) / 100.0D
            AS sum_7d""",
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events)
+SELECT user_id, event_id, ts,
+       CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+         AS n_distinct_types_so_far
+FROM firsts
+""",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — which Spark (and SQL)
+    cannot express directly — via the first-occurrence decomposition:
+    mark each (user, event_type)'s first row with one window, then a
+    running SUM of the marks gives the distinct-type count at every point
+    in the stream. Two windows on the same user_id partitioning (one
+    shuffle; the second window reuses the co-partitioned exchange), exact
+    integers throughout — the standard idiom for "how many distinct
+    things had this key seen by time t" at any scale."""
+    e = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    firsts = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return firsts.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("is_first").over(w_run).cast("long").alias("n_distinct_types_so_far"),
+    )
