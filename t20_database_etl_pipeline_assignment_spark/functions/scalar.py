@@ -420,3 +420,46 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return messy.groupBy("t").agg(F.count(F.lit(1)).alias("n_parts")).select(
         F.lower(F.col("t")).alias("type_lc"), "n_parts"
     )
+
+
+@query(
+    "fn_try_safe_math",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN (o_orderkey % 100) = 0 THEN NULL
+            ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                 // (o_orderkey % 100) END AS per_unit_cents,
+       (o_orderkey % 100) = 0 AS div_by_zero_is_null,
+       TRY_CAST(o_orderpriority AS BIGINT) AS prio_num,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit,
+       COALESCE(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT), -1)
+         AS prio_resolved
+FROM orders
+""",
+)
+def fn_try_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant arithmetic and casts (reference README.md:12 "error
+    handling … throughout the ETL process"): try_divide turns
+    division-by-zero into NULL instead of a job-killing exception under
+    ANSI mode, try_cast does the same for malformed strings ('1-URGENT'
+    → NULL, its leading digit → 1). The NULL-not-crash contract is what
+    lets a 100 TB load survive the one poisoned row in billions, with the
+    NULLs routed to the dq_quarantine path downstream."""
+    o = table(spark, sf_dir, "orders")
+    denom = F.col("o_orderkey") % 100
+    return o.select(
+        "o_orderkey",
+        F.when(denom == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr(
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            " div (o_orderkey % 100)"
+        ))
+        .alias("per_unit_cents"),
+        # the NULL-not-crash contract itself, as a checkable column
+        F.try_divide(F.lit(1.0), denom).isNull().alias("div_by_zero_is_null"),
+        F.col("o_orderpriority").try_cast("long").alias("prio_num"),
+        F.substring("o_orderpriority", 1, 1).try_cast("long").alias("prio_digit"),
+        F.coalesce(
+            F.substring("o_orderpriority", 1, 1).try_cast("long"), F.lit(-1)
+        ).alias("prio_resolved"),
+    )

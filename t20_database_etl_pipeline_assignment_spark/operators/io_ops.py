@@ -563,3 +563,38 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("amount").alias("min_amount"),
         F.max("amount").alias("max_amount"),
     )
+
+
+@query(
+    "union_schema_evolution",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(NULL AS VARCHAR) AS o_channel, 'v1' AS batch_ver
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice,
+       o_orderpriority AS o_channel, 'v2' AS batch_ver
+FROM orders WHERE o_orderkey % 2 = 1
+""",
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform-side schema evolution: merge batches whose schemas
+    drifted (a v2 feed grew an `o_channel` column) with
+    `unionByName(allowMissingColumns=True)` — columns align BY NAME, the
+    missing column NULL-fills, and nothing depends on column order. The
+    read-side counterpart is scan_parquet_schema_evolution (mergeSchema);
+    this is the in-flight merge an ingestion job does when both feed
+    versions are live at once — at 100 TB that overlap window is weeks,
+    not a cutover instant."""
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.lit("v1").alias("batch_ver")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("o_channel"),
+        F.lit("v2").alias("batch_ver"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
