@@ -20,11 +20,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from t20_database_etl_pipeline_assignment_spark.registry import QUERIES  # noqa: E402
 from t20_database_etl_pipeline_assignment_spark.session import get_spark  # noqa: E402
+from t20_database_etl_pipeline_assignment_spark.sources.staging import (  # noqa: E402
+    prune_stale_generations,
+)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # startup-only cache hygiene: safe here (no in-flight job holds paths
+    # into a previous fixture generation), unsafe on every path resolution
+    prune_stale_generations(sf_dir)
     spark = get_spark("t20-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -133,10 +133,13 @@ def udtf_explode_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _token_count_arrow(s: str) -> int:
-    """Whitespace token count (Arrow-optimized scalar UDF body)."""
+    """Space-run token count (Arrow-optimized scalar UDF body). Splits on
+    ' ' with empty-token filtering — exactly `string_split_regex(s, ' +')`
+    — NOT str.split(), which also splits on tabs/newlines/unicode
+    whitespace and would diverge from the oracle on such documents."""
     if s is None:
         return 0
-    return len(s.split())
+    return sum(1 for t in s.split(" ") if t)
 
 
 @query(

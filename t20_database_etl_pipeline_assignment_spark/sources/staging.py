@@ -36,18 +36,32 @@ def index_cache_dir(sf_dir: str, kind: str) -> str:
         pass
     base = os.path.basename(os.path.normpath(sf_dir))
     key = f"{base}-{h.hexdigest()[:12]}"
-    # prune artifact trees from PREVIOUS fixture generations (same sf dir,
-    # different fingerprint): they can never be read again — any process
-    # that could still want them saw the old files, which no longer exist
+    return os.path.join(root, key, kind)
+
+
+def prune_stale_generations(sf_dir: str) -> None:
+    """Delete artifact trees from PREVIOUS fixture generations (same sf
+    dir, different content fingerprint).
+
+    Deliberately NOT called from `index_cache_dir`: pruning on every path
+    resolution could delete parquet inputs out from under a still-running
+    job that resolved its paths against the previous generation (e.g. a
+    bench overlapping a fixture regen) — failing it with missing-file
+    errors. Call this only at process startup (bench.py / drive_contract
+    do), when no in-flight job can hold paths into the old generation."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    current = Path(index_cache_dir(sf_dir, "_probe")).parent
+    root, key = current.parent, current.name
+    base = os.path.basename(os.path.normpath(sf_dir))
     try:
         for entry in os.listdir(root):
             if entry.startswith(f"{base}-") and entry != key:
-                import shutil
-
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
     except OSError:
         pass
-    return os.path.join(root, key, kind)
 
 
 def cached_df(spark: SparkSession, path: str, build) -> DataFrame:

@@ -41,3 +41,15 @@ def test_inventory_count_line_is_current():
     assert int(m.group(1)) == len(QUERIES), (
         f"SURVEY says {m.group(1)} queries, registry has {len(QUERIES)}"
     )
+    # the §2 sum (77 + 94 = N) must add up to the same pinned total, so a
+    # §2.L addition can't silently desync the breakdown from the registry
+    m2 = re.search(r"(\d+) operators in §2\.A–K \+ (\d+) additions in §2\.L", s)
+    assert m2, "SURVEY inventory breakdown line not found"
+    assert int(m2.group(1)) + int(m2.group(2)) == len(QUERIES), (
+        f"SURVEY breakdown {m2.group(1)}+{m2.group(2)} != registry {len(QUERIES)}"
+    )
+    # no OTHER stale whole-registry counts may appear in the inventory
+    # paragraph (round-2 lesson: a prose 'all 166 re-verified' drifted)
+    para = s[m2.start() : s.find("---", m2.start())]
+    for lit in re.findall(r"all (\d+)\b", para):
+        assert int(lit) == len(QUERIES), f"stale count 'all {lit}' in SURVEY inventory"

@@ -22,6 +22,89 @@ def test_minhash_lsh_finds_injected_duplicates(spark, sf_dir):
         assert pairs[p] == 1.0
 
 
+def test_minhash_lsh_fixture_recall_guard(spark, sf_dir):
+    """Candidate recall must be exactly 1.0 vs the EXACT all-pairs set at
+    the operator threshold on the current fixture. dedup_minhash_lsh's
+    oracle is the exact inverted-index answer, so its hash gate silently
+    depends on this; if a regenerated fixture ever contains a
+    moderate-similarity pair the banding misses, this test names the pair
+    instead of leaving an opaque oracle mismatch."""
+    from t20_database_etl_pipeline_assignment_spark.operators.llm import cloned_shingles
+
+    sh = cloned_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    exact = (
+        inter.join(za, F.col("doc1") == F.col("za.doc_id"))
+        .join(zb, F.col("doc2") == F.col("zb.doc_id"))
+        .filter(F.col("i") / (F.col("za.sz") + F.col("zb.sz") - F.col("i")) >= 0.5)
+        .select("doc1", "doc2")
+    )
+    exact_pairs = {(r.doc1, r.doc2) for r in exact.collect()}
+    lsh_pairs = {
+        (r.doc1, r.doc2) for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    missed = exact_pairs - lsh_pairs
+    assert not missed, f"LSH banding missed {len(missed)} true pairs: {sorted(missed)[:5]}"
+
+
+def _py_shingles(tokens: list[str]) -> set[str]:
+    return {" ".join(tokens[i : i + 3]) for i in range(len(tokens) - 2)}
+
+
+def test_minhash_banding_planted_near_dups(spark):
+    """Deterministic planted-pair check of the shared banding kernel in
+    its INCREMENTAL shape (new-slice probes historical band index): docs
+    with known shingle Jaccard (token substitutions in disjoint vocab).
+    All inputs and xxhash64 are deterministic, so this pins concrete
+    recall behavior — planted pairs at J≥0.75 must collide (theoretical
+    per-pair odds ≥ 0.998 with 16×4 banding), and an unrelated
+    disjoint-vocab pair must not."""
+    from t20_database_etl_pipeline_assignment_spark.operators.llm import (
+        _minhash_banded,
+        shingles,
+    )
+
+    hist_rows, new_rows, expected = [], [], {}
+    for d in range(4):
+        base = [f"d{d}w{j}" for j in range(60)]
+        hist_rows.append((d, " ".join(base)))
+        k = d + 1  # 1..4 substitutions, spaced >= 3 apart
+        variant = list(base)
+        for s in range(k):
+            variant[10 + 3 * s] = f"d{d}x{s}"
+        new_rows.append((100 + d, " ".join(variant)))
+        sa, sb = _py_shingles(base), _py_shingles(variant)
+        expected[(100 + d, d)] = len(sa & sb) / len(sa | sb)
+
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    hb = _minhash_banded(shingles(hist)).alias("h")
+    nb = _minhash_banded(shingles(new)).alias("n")
+    cand = {
+        (r.new_id, r.dup_of)
+        for r in hb.join(
+            nb,
+            (F.col("h.band") == F.col("n.band"))
+            & (F.col("h.band_val") == F.col("n.band_val")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("h.doc_id").alias("dup_of"))
+        .distinct()
+        .collect()
+    }
+    for pair, j in expected.items():
+        if j >= 0.75:
+            assert pair in cand, f"planted pair {pair} at J={j:.3f} not a candidate"
+    # disjoint-vocab docs must not band-collide
+    assert (100 + 3, 0) not in cand
+
+
 def test_simhash_finds_injected_duplicates(spark, sf_dir):
     out = QUERIES["dedup_simhash"](spark, sf_dir)
     pairs = {(r.doc1, r.doc2): r.hamming for r in out.collect()}

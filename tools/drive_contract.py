@@ -49,6 +49,13 @@ def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
 
+    # startup-only: drop index-cache trees of previous fixture generations
+    from t20_database_etl_pipeline_assignment_spark.sources.staging import (
+        prune_stale_generations,
+    )
+
+    prune_stale_generations(sf)
+
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
