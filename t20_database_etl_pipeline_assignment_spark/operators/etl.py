@@ -645,11 +645,19 @@ def fuzzy_conform_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     with deterministic tie-break — the name-cleanup stage in front of an
     exact dimension join.
 
-    The reference list broadcasts (conformance targets are small by
-    construction); each dirty record scans only the broadcast side, so the
-    100 TB dirty stream never shuffles. At larger reference lists the
-    candidate space is bounded by length-band + first-char blocking before
-    the distance evaluation — same plan shape, keyed broadcast."""
+    Candidates come from a KEYED broadcast-hash join on symmetric-delete
+    (SymSpell) blocking keys, never a cross join: each name emits itself
+    plus its |s| delete-one-char variants, and any pair at edit distance
+    ≤ 1 provably shares a key (dist 0 → the string itself; substitution
+    at i → both sides' delete-at-i; indel → the longer side's delete at
+    the edited position equals the shorter string). Sharing a key is
+    necessary, not sufficient, so the Levenshtein evaluation stays as the
+    exact verification — but it now runs only on key-collided candidates.
+    The reference index broadcasts (conformance targets are small by
+    construction; the index is |ref| × (len+1) short keys), so the 100 TB
+    dirty stream never shuffles and never scans the whole reference list
+    per record — unlike the docstring-only length+first-char plan this
+    blocking is complete even when the FIRST character was edited."""
     nat = table(spark, sf_dir, "nation")
     dirty = nat.select(
         "n_nationkey",
@@ -660,9 +668,33 @@ def fuzzy_conform_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("raw_name"),
     )
     ref = nat.select(F.col("n_name").alias("matched_name"))
+
+    def del1_keys(col: Column) -> Column:
+        # {s} ∪ {s minus char i : i in 1..|s|}, JVM-side HOFs only
+        return F.array_distinct(
+            F.concat(
+                F.array(col),
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1))),
+                    lambda i: F.concat(
+                        F.substr(col, F.lit(1), i - F.lit(1)),
+                        F.substr(col, i + F.lit(1), F.length(col)),
+                    ),
+                ),
+            )
+        )
+
+    probe = dirty.select(
+        "n_nationkey", "raw_name", F.explode(del1_keys(F.col("raw_name"))).alias("bk")
+    )
+    ref_index = ref.select(
+        "matched_name", F.explode(del1_keys(F.col("matched_name"))).alias("bk")
+    )
     dist = F.levenshtein(F.col("raw_name"), F.col("matched_name"))
     cand = (
-        dirty.crossJoin(F.broadcast(ref))
+        probe.join(F.broadcast(ref_index), "bk")
+        .select("n_nationkey", "raw_name", "matched_name")
+        .distinct()
         .withColumn("dist", dist)
         .filter(F.col("dist") <= 1)
     )

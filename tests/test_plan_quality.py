@@ -144,7 +144,6 @@ _BNLJ_ALLOWED = {
     "graph_pagerank",        # 1-row node-count broadcast (base-mass term)
     "text_bm25_topk",        # 1-row corpus-size/avgdl/df broadcasts
     "emb_matryoshka_recall", # tiny query-set broadcast, no equi key
-    "fuzzy_conform_levenshtein",  # broadcast reference list, no equi key
 }
 _PY_ROW_ALLOWED = {"udf_python_scalar", "udtf_explode_custom"}  # §2.K escape hatches
 # Queries allowed an unbounded global sort (none expected; review any addition)
