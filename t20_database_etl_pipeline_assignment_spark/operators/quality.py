@@ -259,45 +259,89 @@ def cluster_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     its clone edge), labeling each doc with the minimum doc_id reachable
     from it — the canonical representative its group keeps.
 
-    Iterative min-label propagation: each round joins labels to the
-    symmetrized edge list and takes the neighborhood minimum; rounds are
-    bounded by component diameter (near-dup clusters are shallow), each
-    round is one shuffle on node id, and only a 1-row changed-count reaches
-    the driver. The similarity graph is a persisted per-fixture index
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): each iteration
+    rewrites the edge set so every node points closer to its component
+    minimum, converging to min-rooted stars in O(log n) iterations — NOT
+    bounded by component diameter, so a 100×-deeper near-dup chain costs
+    log-factor more rounds, not linearly more. Each half-step is one
+    groupBy-min on an endpoint plus an equi-join back — the same
+    shuffle-on-node-id shape as plain label propagation — and only a
+    (count, hash) convergence signature row reaches the driver per
+    iteration. The similarity graph is a persisted per-fixture index
     (.index_cache, like the IVF inverted file): at 100 TB the near-dup
-    graph is built once by the dedup pipeline and re-clustered many times,
-    so the query path is propagation-only. At larger diameters swap the
-    fixed-point loop for the two-phase large-star/small-star algorithm
-    (same per-round plan, provably O(log n) rounds); the per-round dataflow
-    here is already that shape. The oracle walks the same graph with a
+    graph is built once by the dedup pipeline and re-clustered many
+    times, so the query path is contraction-only.
+    tests/test_quality_ops.py pins the O(log n) bound on a 64-node path
+    graph (diameter 63). The oracle walks the same graph with a
     recursive CTE."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
     sym = _cached_sym_graph(spark, sf_dir, docs)
+    edges = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    star, _ = _star_contract(edges)
+    return docs.select(F.col("doc_id")).join(
+        star.select(F.col("v").alias("doc_id"), F.col("u").alias("root")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("root", "doc_id").alias("component"))
 
-    def propagate(lbls: DataFrame) -> DataFrame:
-        nbr = (
-            sym.join(lbls, sym["src"] == lbls["node"])
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("lbl").alias("nbr_min"))
-        )
-        return lbls.join(nbr, lbls["node"] == nbr["node2"], "left").select(
-            "node",
-            F.least(F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))).alias("lbl"),
-            (F.coalesce("nbr_min", F.col("lbl")) < F.col("lbl")).alias("changed"),
-        )
 
-    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
-    for _ in range(10):  # 2 propagation steps per materialized job = diameter 20
-        # chain two rounds lazily, then cut lineage with ONE eager job; if
-        # the second step moved no label, the first had already converged
-        # (its output equals the fixed point the second step confirmed).
-        new = propagate(propagate(labels).drop("changed")).localCheckpoint()
-        n_changed = new.filter("changed").limit(1).count()  # 1-row driver check
-        labels = new.drop("changed")
-        if n_changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component"))
+def _canonical_edges(e: DataFrame) -> DataFrame:
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """∀u: connect every strictly-larger neighbor to min(Γ(u) ∪ {u})."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("u", "mn").alias("m"))
+    return _canonical_edges(
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """∀v (grouping by the larger endpoint, neighbors all smaller):
+    connect every x ∈ Γ(v) ∪ {v}, x ≠ m, to m = min(Γ(v))."""
+    m = e.groupBy("v").agg(F.min("u").alias("m"))
+    return _canonical_edges(
+        e.join(m, "v")
+        .select(F.col("u"), F.col("m").alias("v"))
+        .unionByName(m.select(F.col("v").alias("u"), F.col("m").alias("v")))
+    )
+
+
+def _star_contract(edges: DataFrame, max_iters: int = 40) -> tuple[DataFrame, int]:
+    """Alternate large-star/small-star on a canonical (u < v) edge set
+    until it is stable; at the fixed point every edge is (component_min,
+    node) — min-rooted stars. Returns (star edges, iterations including
+    the confirming no-change pass). Each iteration localCheckpoints to
+    cut lineage, and convergence is decided from a single (count,
+    hash-xor) signature row per iteration — equal signatures on the
+    distinct canonical sets mean equal sets up to a ~2^-64 xor collision
+    (bit_xor, not sum: order-independent and cannot overflow ANSI
+    longs)."""
+    edges = _canonical_edges(edges)
+    prev: tuple = ()
+    for it in range(1, max_iters + 1):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        sig_row = edges.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev:
+            return edges, it
+        prev = sig
+    raise RuntimeError(f"star contraction did not converge in {max_iters} iterations")
 
 
 def _cached_sym_graph(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:

@@ -59,6 +59,50 @@ def test_connected_components_validity(spark, sf_dir):
         assert pdf[comp] == comp  # representative labels itself
 
 
+def test_star_contraction_logn_on_deep_path(spark):
+    """The large-star/small-star loop must handle a DEEP component — a
+    64-node path graph (diameter 63), far deeper than any fixture near-dup
+    cluster — and converge in O(log n) iterations, not O(diameter):
+    ≤ 2·log2(64) + 2 = 14 including the confirming no-change pass. Labels
+    must all collapse to the path minimum."""
+    import math
+
+    from t20_database_etl_pipeline_assignment_spark.operators.quality import (
+        _star_contract,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    )
+    star, iters = _star_contract(edges)
+    bound = 2 * int(math.log2(n)) + 2
+    assert iters <= bound, f"took {iters} iterations, bound {bound}"
+    rows = star.collect()
+    assert {r.u for r in rows} == {0}  # every edge points at the root
+    assert {r.v for r in rows} == set(range(1, n))
+
+
+def test_star_contraction_multi_component(spark):
+    """Two interleaved odd/even chains (ids interleave, so min-labels must
+    cross-propagate correctly) plus an isolated-free check: each chain
+    collapses to its own minimum."""
+    from t20_database_etl_pipeline_assignment_spark.operators.quality import (
+        _star_contract,
+    )
+
+    edges = spark.createDataFrame(
+        [(2 * i, 2 * i + 2) for i in range(20)]
+        + [(2 * i + 1, 2 * i + 3) for i in range(20)],
+        "u long, v long",
+    )
+    star, _ = _star_contract(edges)
+    comp = {r.v: r.u for r in star.collect()}
+    for i in range(1, 21):
+        assert comp[2 * i] == 0
+        assert comp[2 * i + 1] == 1
+
+
 def test_anomaly_zscore_is_outlier_subset(spark, sf_dir):
     rows = QUERIES["anomaly_zscore"](spark, sf_dir).collect()
     assert rows  # fixture has heavy-tailed values
