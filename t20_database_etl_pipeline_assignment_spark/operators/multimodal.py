@@ -2,11 +2,14 @@
 ride as opaque `binary` payload columns with typed metadata; decode /
 feature-extract run as Arrow-batched pandas iterators (`mapInPandas`).
 
-The container has no image/audio codecs, so the *decode* steps are stubbed
-(deterministic fake or NotImplementedError, clearly marked), but everything
-Spark-side is real and tested: payload schema, batch iteration shape,
-partition-preserving plumbing, and a feature extractor whose output is
-oracle-checkable (sha256/length/header bytes are codec-independent).
+The container has no compressed-codec libraries (no libjpeg/ffmpeg), so
+decode is implemented pure-Python for the uncompressed public formats that
+need none: PPM (P6) and 24-bit BMP for images, YUV4MPEG2 (y4m) for video
+frame sampling. Everything Spark-side is real and tested: payload schema,
+batch iteration shape, partition-preserving plumbing, and a feature
+extractor whose output is oracle-checkable (sha256/length/header bytes are
+codec-independent). A deployment with real codecs swaps the decoder body;
+the Spark plumbing (binary column → mapInPandas → typed rows) is unchanged.
 
 Scale: mapInPandas streams Arrow batches — constant memory per task no
 matter how large the corpus; payload bytes never pass through the driver.
@@ -55,20 +58,98 @@ def extract_binary_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Stub: real image decode requires a codec library not present in this
-    container. The Spark-side contract (binary in → array<array<int>> out via
-    a pandas UDF) is what matters here."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not available in this environment"
-    )
+def decode_image(payload: bytes):
+    """Decode an uncompressed image payload to an (h, w, 3) uint8 RGB numpy
+    array. Pure-Python decoders for the two classic codec-free formats:
+    binary PPM (``P6``, maxval 255) and Windows BMP (BITMAPINFOHEADER,
+    24-bit BI_RGB, bottom-up or top-down). Raises ValueError on anything
+    else — compressed formats (JPEG/PNG) need codec libraries this
+    container doesn't ship; a real deployment swaps this body and keeps the
+    mapInPandas plumbing."""
+    if payload[:2] == b"P6":
+        return _decode_ppm_p6(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp24(payload)
+    raise ValueError("unsupported image format (supported: PPM P6, 24-bit BMP)")
 
 
-def sample_video_frames(payload: bytes, every_n: int = 30) -> "object":
-    """Stub: frame sampling requires a video codec (see decode_image)."""
-    raise NotImplementedError(
-        "video frame sampling requires a codec not available in this environment"
-    )
+def _decode_ppm_p6(data: bytes):
+    import numpy as np
+
+    # header: P6, then whitespace/comment-separated width height maxval,
+    # then exactly ONE whitespace byte before the raster
+    pos, vals = 2, []
+    while len(vals) < 3:
+        c = data[pos : pos + 1]
+        if c == b"#":
+            pos = data.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            j = pos
+            while not data[j : j + 1].isspace():
+                j += 1
+            vals.append(int(data[pos:j]))
+            pos = j
+    pos += 1
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM (maxval 255) supported")
+    return np.frombuffer(data, np.uint8, count=3 * w * h, offset=pos).reshape(h, w, 3)
+
+
+def _decode_bmp24(data: bytes):
+    import struct
+
+    import numpy as np
+
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiihhI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed (BI_RGB) BMP supported")
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(data, np.uint8, count=stride * h, offset=pixel_off)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
+    return (px[::-1] if bottom_up else px).copy()
+
+
+def sample_video_frames(payload: bytes, every_n: int = 30):
+    """Sample every n-th frame of a YUV4MPEG2 (.y4m) stream — raw
+    uncompressed video, the codec-free interchange format — returning
+    [(frame_idx, (h, w) uint8 luma plane), ...]. Parses the stream header
+    (W/H/C tags) and per-frame FRAME markers; C420/C422/C444 subsampling
+    only changes the chroma bytes skipped per frame."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", errors="replace")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    chroma = "420"
+    for tok in header.split()[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            chroma = tok[1:]
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    chroma_bytes = {"420": w * h // 2, "422": w * h, "444": w * h * 2}[chroma[:3]]
+    frame_size = w * h + chroma_bytes
+    frames, pos, idx = [], nl + 1, 0
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"missing FRAME marker at byte {pos}")
+        pos = payload.index(b"\n", pos) + 1
+        if idx % every_n == 0:
+            luma = np.frombuffer(payload, np.uint8, count=w * h, offset=pos)
+            frames.append((idx, luma.reshape(h, w).copy()))
+        pos += frame_size
+        idx += 1
+    return frames
 
 
 FRAME_BYTES = 64

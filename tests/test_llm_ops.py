@@ -150,16 +150,110 @@ def test_dedup_cascade_stages(spark, sf_dir):
     assert out["2_near"] > 0
 
 
-def test_decode_stubs_raise(spark):
+def _bmp24(pixels) -> bytes:
+    """Hand-rolled 24-bit bottom-up BI_RGB BMP encoder (test oracle)."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in reversed(pixels):  # bottom-up
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)
+        raster += line + b"\x00" * (stride - len(line))
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiihhIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+        + raster
+    )
+
+
+def test_decode_image_ppm_and_bmp():
+    import numpy as np
+
     from t20_database_etl_pipeline_assignment_spark.operators.multimodal import (
         decode_image,
+    )
+
+    pixels = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+    ]
+    flat = bytes(c for row in pixels for px in row for c in px)
+    ppm = b"P6\n# comment\n3 2\n255\n" + flat
+    for payload in (ppm, _bmp24(pixels)):
+        img = decode_image(payload)
+        assert img.shape == (2, 3, 3)
+        assert img.dtype == np.uint8
+        assert img.tobytes() == flat
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG....")
+
+
+def test_sample_video_frames_y4m():
+    import numpy as np
+
+    from t20_database_etl_pipeline_assignment_spark.operators.multimodal import (
         sample_video_frames,
     )
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(b"\x00\x00")
+    w, h, n = 4, 2, 7
+    frames = [bytes([(f * 10 + i) % 256 for i in range(w * h)]) for f in range(n)]
+    stream = b"YUV4MPEG2 W4 H2 F30:1 C420\n" + b"".join(
+        b"FRAME\n" + y + b"\x00" * (w * h // 2) for y in frames  # zero chroma planes
+    )
+    got = sample_video_frames(stream, every_n=3)
+    assert [idx for idx, _ in got] == [0, 3, 6]
+    for idx, luma in got:
+        assert luma.shape == (h, w)
+        assert luma.tobytes() == frames[idx]
+    assert np.array_equal(got[0][1], np.frombuffer(frames[0], np.uint8).reshape(h, w))
+    with pytest.raises(ValueError):
+        sample_video_frames(b"RIFF....")
+
+
+def test_decode_image_spark_plumbing(spark):
+    """The decoder inside the real Spark shape: binary payload column →
+    mapInPandas → typed (doc_id, width, height, pixel_sha256) rows."""
+    import hashlib
+
+    import pandas as pd
+
+    from t20_database_etl_pipeline_assignment_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    imgs = {
+        i: [[((i + r * 7 + c) % 256,) * 3 for c in range(3 + i)] for r in range(2 + i)]
+        for i in range(4)
+    }
+    rows = [(i, _bmp24(px)) for i, px in imgs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def kernel(batches):
+        for pdf in batches:
+            decoded = [decode_image(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d.shape[1] for d in decoded],
+                    "height": [d.shape[0] for d in decoded],
+                    "pixel_sha256": [
+                        hashlib.sha256(d.tobytes()).hexdigest() for d in decoded
+                    ],
+                }
+            )
+
+    got = {
+        r.doc_id: r
+        for r in df.mapInPandas(
+            kernel, "doc_id long, width long, height long, pixel_sha256 string"
+        ).collect()
+    }
+    for i, px in imgs.items():
+        flat = bytes(c for row in px for p in row for c in p)
+        assert (got[i].width, got[i].height) == (3 + i, 2 + i)
+        assert got[i].pixel_sha256 == hashlib.sha256(flat).hexdigest()
 
 
 def test_pairwise_block_sharding_bit_exact(spark, sf_dir):
