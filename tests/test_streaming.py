@@ -336,3 +336,113 @@ def test_python_stream_source_resumes_from_checkpoint(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n  # no gaps, no duplicates
     assert got.select(F.sum("i")).collect()[0][0] == n * (n - 1) // 2
+
+
+def test_stream_scd2_sink_exactly_once_across_restart(spark, sf_dir, tmp_path):
+    """The full streaming-SCD2 proof: per-day files drain as one-day
+    micro-batches through foreachBatch(scd2_apply) with an injected crash
+    AFTER batch 2 published but BEFORE its offset committed. The restart
+    must (a) receive batch 2 again, (b) skip it via the published marker
+    (exactly-once), (c) finish the remaining days, and (d) land the
+    dimension on precisely the registered day-fold spec's rows."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+    from t20_database_etl_pipeline_assignment_spark.streaming.scd2_sink import (
+        scd2_daily_fold_spec,
+        scd2_stream_sink,
+    )
+
+    e = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    day = F.date_trunc("day", F.col("ts"))
+    days = sorted(r["d"] for r in e.select(day.alias("d")).distinct().collect())[:6]
+    sub = e.filter(day.isin(days))
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    t0 = time.time() - 3600
+    for i, d in enumerate(days):  # one file per day, mtimes in day order
+        stage = str(tmp_path / f"stage{i}")
+        sub.filter(day == F.lit(d)).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = str(stream_dir / f"day{i:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+    dim, ckpt = str(tmp_path / "dim_user"), str(tmp_path / "ckpt")
+    keys, attrs = ["user_id"], ["event_type", "value"]
+
+    def start(body):
+        return (
+            spark.readStream.schema(sub.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    crashed = {"done": False}
+    sink1 = scd2_stream_sink(dim, keys, attrs)
+
+    def crash_after_publish(batch_df, batch_id):
+        sink1(batch_df, batch_id)
+        if batch_id == 2 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash: published but not checkpointed")
+
+    with pytest.raises(StreamingQueryException):
+        start(crash_after_publish).awaitTermination(300)
+    assert 2 in sink1.applied  # batch 2 WAS published before the crash
+
+    sink2 = scd2_stream_sink(dim, keys, attrs)
+    q = start(sink2)
+    q.awaitTermination(300)
+    assert 2 in sink2.skipped, "re-delivered batch 2 must be marker-skipped"
+    assert 2 not in sink2.applied
+    assert max(sink2.applied) == 5  # all six day-batches accounted for
+
+    cols = ["user_id", "event_type", "value", "effective_from", "effective_to", "is_current"]
+
+    def norm(df):
+        rows = []
+        for r in df.select(*cols).collect():
+            rows.append(
+                tuple(
+                    v.replace(tzinfo=None) if hasattr(v, "tzinfo") else v
+                    for v in (r[c] for c in cols)
+                )
+            )
+        return sorted(rows)
+
+    got = norm(spark.read.parquet(dim))
+    want = norm(scd2_daily_fold_spec(sub))
+    assert got == want
+
+
+def test_scd2_sink_recovers_between_rename_crash(spark, tmp_path):
+    """Crash window between the two publish renames: live dir gone, .old
+    present. recover_dim must restore the survivor, and a fresh fold must
+    then pick up from it."""
+    import os
+
+    from t20_database_etl_pipeline_assignment_spark.streaming.scd2_sink import (
+        atomic_swap_publish,
+        recover_dim,
+    )
+
+    dim = str(tmp_path / "dim")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    atomic_swap_publish(df, dim, {"batch_id": 0})
+    # simulate the torn state
+    os.rename(dim, dim + ".old")
+    assert not os.path.exists(dim)
+    recover_dim(dim)
+    assert os.path.exists(dim)
+    assert spark.read.parquet(dim).collect()[0]["v"] == "a"
