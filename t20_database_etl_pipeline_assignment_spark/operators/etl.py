@@ -12,7 +12,10 @@ Design rules:
   parameter (never current_timestamp) for deterministic, replayable runs.
 - Change detection hashes scaled-integer renderings of numeric attrs
   (sha2-256) — stable across runs and engines, and cheap to compare before
-  any shuffle.
+  any shuffle. At rest the same hash keys the dimension's physical layout:
+  pipeline.py band-partitions dim tables by key hash and rewrites only the
+  bands whose keys changed (_scd2_rewrite_bands — the "only changed
+  partitions rewrite" claim, made real and pinned by tests/test_pipeline.py).
 - Scale: each composite is one or two key-partitioned shuffles. The staged
   batch is usually ≪ target → Spark broadcasts it; the target never needs a
   global sort. The registry queries derive (target, staged) pairs

@@ -38,13 +38,82 @@ import os
 import time
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.etl import dq_quarantine, incr_load_watermark, scd2_apply, scd2_init
+from .operators.etl import (
+    _row_hash,
+    dq_quarantine,
+    incr_load_watermark,
+    scd2_apply,
+    scd2_init,
+)
 from .sources.tables import table
 
 log = logging.getLogger("t20spark.pipeline")
+
+_N_DIM_BANDS = 16
+
+
+def _dim_band(key) -> Column:
+    """Stable key-hash band — the dimension's physical partition key.
+    Hash-based (not range-based) so bands stay balanced as keys grow, and
+    deterministic across runs so a key always lands in the same band."""
+    return F.pmod(F.xxhash64(key), F.lit(_N_DIM_BANDS)).cast("int")
+
+
+def _scd2_changed_bands(target: DataFrame, staged: DataFrame, keys, attrs) -> list[int]:
+    """Bands containing at least one changed or net-new key. SCD2 never
+    deletes a key absent from the staged batch, so every other band's fold
+    output is bit-identical to its input — those partitions need no
+    rewrite. The collect is bounded by _N_DIM_BANDS rows."""
+    cur = target.filter(F.col("is_current")).select(*keys, _row_hash(attrs).alias("_th"))
+    stg = staged.select(*keys, _row_hash(attrs).alias("_sh"))
+    delta = stg.join(cur, on=list(keys), how="left").filter(
+        F.col("_th").isNull() | (F.col("_th") != F.col("_sh"))
+    )
+    rows = delta.select(_dim_band(F.col(keys[0])).alias("_band")).distinct().collect()
+    return sorted(r["_band"] for r in rows)
+
+
+def _scd2_rewrite_bands(
+    spark: SparkSession,
+    target: DataFrame,
+    staged: DataFrame,
+    keys,
+    attrs,
+    batch_ts: str,
+    dim_path: str,
+    bands: list[int],
+) -> None:
+    """Fold ONLY the changed bands through scd2_apply and swap exactly
+    those partition directories (write-to-temp + rename per band, same
+    discipline as _overwrite_in_place). Untouched band files are never
+    opened, rewritten, or re-timestamped — the nightly dimension rewrite
+    is pruned to |changed bands| / _N_DIM_BANDS of the dimension."""
+    import shutil
+
+    key = F.col(keys[0])
+    tslice = target.filter(F.col("_band").isin(bands)).drop("_band")
+    sslice = staged.filter(_dim_band(key).isin(bands))
+    folded = scd2_apply(tslice, sslice, keys=keys, attrs=attrs, batch_ts=batch_ts)
+    tmp = dim_path + ".tmp-bands"
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded.withColumn("_band", _dim_band(key)).write.mode("overwrite").partitionBy(
+        "_band"
+    ).parquet(tmp)
+    for b in bands:
+        src = os.path.join(tmp, f"_band={b}")
+        if not os.path.exists(src):  # defensive: changed band always has rows
+            continue
+        dst = os.path.join(dim_path, f"_band={b}")
+        old = dst + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 @contextmanager
@@ -120,12 +189,24 @@ def run_etl(
     with _stage("conform_scd2", metrics):
         keys, attrs = ["c_custkey"], ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
         dim_path = f"{target_dir}/dim_customer"
-        if os.path.exists(dim_path):
+        if not os.path.exists(dim_path):
+            # first run: initialize open-ended history, band-partitioned
+            # (applying the first snapshot to its own init is a no-op)
+            dim0 = scd2_init(customer, batch_ts="1970-01-01 00:00:00").withColumn(
+                "_band", _dim_band(F.col(keys[0]))
+            )
+            dim0.write.mode("overwrite").partitionBy("_band").parquet(dim_path)
+            metrics["dim_bands_rewritten"] = _N_DIM_BANDS
+        else:
+            # nightly run: fold + rewrite ONLY bands holding changed keys
             target = spark.read.parquet(dim_path)
-        else:  # first run: initialize open-ended history
-            target = scd2_init(customer, batch_ts="1970-01-01 00:00:00")
-        dim = scd2_apply(target, customer, keys=keys, attrs=attrs, batch_ts=batch_ts)
-        metrics["dim_customer_rows"] = _overwrite_in_place(spark, dim, dim_path)
+            bands = _scd2_changed_bands(target, customer, keys, attrs)
+            metrics["dim_bands_rewritten"] = len(bands)
+            if bands:
+                _scd2_rewrite_bands(
+                    spark, target, customer, keys, attrs, batch_ts, dim_path, bands
+                )
+        metrics["dim_customer_rows"] = spark.read.parquet(dim_path).count()
 
     with _stage("load_facts", metrics):
         fact = valid.withColumn("ship_year", F.year("l_shipdate"))

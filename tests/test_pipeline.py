@@ -44,8 +44,101 @@ def test_pipeline_end_to_end_and_idempotent(spark, sf_dir, target_dir):
     part_dirs = glob.glob(f"{target_dir}/fact_lineitem/ship_year=*")
     assert len(part_dirs) >= 2, part_dirs
 
-    # rerun same batch: nothing changed ⇒ same dim rows, same event count
+    # rerun same batch: nothing changed ⇒ same dim rows, same event count,
+    # and the partition-pruned dimension rewrite touches ZERO bands
+    before = _band_file_states(target_dir)
     m2 = run_etl(spark, sf_dir, target_dir, batch_ts="2026-01-02 00:00:00")
     assert m2["dim_customer_rows"] == m1["dim_customer_rows"]
     assert m2["events_rows"] == m1["events_rows"]
     assert m2["fact_rows"] == m1["fact_rows"]
+    assert m2["dim_bands_rewritten"] == 0
+    assert _band_file_states(target_dir) == before  # bit-for-bit untouched
+
+
+def _band_file_states(target_dir):
+    """(path, size, mtime_ns) of every dimension band file — equality means
+    the files were never rewritten, not merely rewritten equal."""
+    import glob
+    import os
+
+    out = {}
+    for p in sorted(glob.glob(f"{target_dir}/dim_customer/_band=*/*")):
+        st = os.stat(p)
+        out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_scd2_band_rewrite_is_partition_pruned(spark, sf_dir, target_dir, tmp_path):
+    """Changing a handful of customers must rewrite ONLY the bands holding
+    their keys: untouched band files keep identical size+mtime (never
+    reopened), changed keys gain a closed row + a new current row, and the
+    full-dimension SCD2 invariants still hold."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from t20_database_etl_pipeline_assignment_spark.pipeline import _N_DIM_BANDS
+
+    # editable copy of the fixture dir: symlink everything, then replace
+    # customer.parquet with a version where 3 keys changed acctbal
+    src_dir = tmp_path / "sf_mod"
+    src_dir.mkdir()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        os.symlink(p, src_dir / os.path.basename(p))
+
+    m1 = run_etl(spark, str(src_dir), target_dir, batch_ts="2026-01-01 00:00:00")
+    assert m1["dim_bands_rewritten"] == _N_DIM_BANDS  # first run: full write
+
+    t = pq.read_table(f"{sf_dir}/customer.parquet")
+    pdf = t.to_pandas()
+    changed_keys = sorted(pdf["c_custkey"])[:3]
+    pdf.loc[pdf["c_custkey"].isin(changed_keys), "c_acctbal"] += 1000.0
+    (src_dir / "customer.parquet").unlink()
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+        src_dir / "customer.parquet",
+    )
+
+    before = _band_file_states(target_dir)
+    m2 = run_etl(spark, str(src_dir), target_dir, batch_ts="2026-02-01 00:00:00")
+
+    expected_bands = {
+        r["b"]
+        for r in spark.createDataFrame([(int(k),) for k in changed_keys], "k long")
+        .select(
+            F.pmod(F.xxhash64(F.col("k")), F.lit(_N_DIM_BANDS)).cast("int").alias("b")
+        )
+        .collect()
+    }
+    assert m2["dim_bands_rewritten"] == len(expected_bands)
+
+    after = _band_file_states(target_dir)
+    changed_paths = {
+        p for p in set(before) | set(after) if before.get(p) != after.get(p)
+    }
+    rewritten_dirs = {p.split("/_band=")[1].split("/")[0] for p in changed_paths}
+    assert rewritten_dirs == {str(b) for b in expected_bands}
+    # untouched bands: identical file list, size, and mtime
+    for p, st in before.items():
+        band = int(p.split("/_band=")[1].split("/")[0])
+        if band not in expected_bands:
+            assert after[p] == st, f"untouched band file rewritten: {p}"
+
+    # SCD2 content: each changed key now has a closed row + a new current row
+    dim = spark.read.parquet(f"{target_dir}/dim_customer")
+    for k in changed_keys:
+        rows = dim.filter(F.col("c_custkey") == int(k)).collect()
+        assert len(rows) == 2
+        cur = [r for r in rows if r["is_current"]]
+        closed = [r for r in rows if not r["is_current"]]
+        assert len(cur) == 1 and len(closed) == 1
+        assert cur[0]["c_acctbal"] == closed[0]["c_acctbal"] + 1000.0
+    per_key = dim.groupBy("c_custkey").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_cur")
+    )
+    assert per_key.filter(F.col("n_cur") != 1).count() == 0
+    shutil.rmtree(src_dir, ignore_errors=True)
