@@ -62,14 +62,27 @@ def main() -> None:
         QUERIES[warm_q](spark, sf_dir).write.format("noop").mode("overwrite").save()
     index_build = round(time.perf_counter() - t_build, 3)
 
-    timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # median-of-N passes (BASELINE.md documents ±25% ambient swing on this
+    # box; medians make round-over-round deltas signal, not noise). Passes
+    # interleave whole sweeps rather than repeating each query back-to-back
+    # so a transient stall hits at most one pass of many queries.
+    n_passes = int(os.environ.get("T20_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in QUERIES}
+    for _ in range(n_passes):
+        for name in sorted(QUERIES):
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.perf_counter() - t0, 3))
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    timings = {name: median(ts) for name, ts in samples.items()}
+    spread = {name: [min(ts), max(ts)] for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     # Full per-query detail goes to disk; stdout carries one SHORT final
     # JSON line with only the slowest queries, so the driver's truncated
@@ -83,6 +96,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min_max": spread,
+                "n_passes": n_passes,
                 "index_build_sec": index_build,
                 "sf": float(sf),
             },
@@ -98,6 +113,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "n_passes": n_passes,
                 "queries": top,
                 "index_build_sec": index_build,
                 "detail": "BENCH_DETAIL.json",

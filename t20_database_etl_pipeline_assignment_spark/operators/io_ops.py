@@ -423,6 +423,66 @@ def sink_overwrite_dynamic_partition(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def sqlserver_column_types(schema) -> str:
+    """`createTableColumnTypes` for a SQL Server JDBC sink (reference
+    README.md:2,10,14 declares the load target as SQL Server). Spark's
+    generic JDBC mapping emits types SQL Server rejects or mangles
+    (StringType → TEXT is deprecated/invalid, timestamps → DATETIME loses
+    µs); this maps every Spark type to the native dialect: NVARCHAR(MAX)
+    for unicode strings, DATETIME2(6) for µs-precision timestamps, BIT for
+    booleans, VARBINARY(MAX) for binary. No SQL Server endpoint exists in
+    this container, so the mapping is unit-tested structurally
+    (tests/test_jdbc_dialect.py) and the round-trip test activates only
+    when T20_SQLSERVER_JDBC_URL is set — Derby remains the always-on
+    embedded stand-in (sink_jdbc / scan_jdbc_partitioned)."""
+    from pyspark.sql import types as T
+
+    def ddl(dt: "T.DataType") -> str:
+        if isinstance(dt, T.DecimalType):
+            return f"DECIMAL({dt.precision},{dt.scale})"
+        mapping = {
+            T.StringType: "NVARCHAR(MAX)",
+            T.TimestampType: "DATETIME2(6)",
+            T.TimestampNTZType: "DATETIME2(6)",
+            T.DateType: "DATE",
+            T.BooleanType: "BIT",
+            T.DoubleType: "FLOAT",
+            T.FloatType: "REAL",
+            T.LongType: "BIGINT",
+            T.IntegerType: "INT",
+            T.ShortType: "SMALLINT",
+            T.ByteType: "TINYINT",
+            T.BinaryType: "VARBINARY(MAX)",
+        }
+        for spark_t, sql_t in mapping.items():
+            if isinstance(dt, spark_t):
+                return sql_t
+        raise ValueError(f"no SQL Server mapping for Spark type {dt}")
+
+    return ", ".join(f"{f.name} {ddl(f.dataType)}" for f in schema.fields)
+
+
+def sqlserver_jdbc_options(schema, url: str, table_name: str) -> dict:
+    """The full option set for a SQL Server JDBC load — exposed as a dict
+    so callers (and tests) can inspect the assembled dialect before any
+    connection is attempted."""
+    return {
+        "url": url,
+        "driver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+        "dbtable": table_name,
+        "createTableColumnTypes": sqlserver_column_types(schema),
+    }
+
+
+def sqlserver_jdbc_writer(df: DataFrame, url: str, table_name: str):
+    """Configured DataFrameWriter for a SQL Server load: dialect column
+    types + the Microsoft driver class. Usage:
+    `sqlserver_jdbc_writer(df, url, "dbo.dim_customer").mode(...).save()`"""
+    return df.write.format("jdbc").options(
+        **sqlserver_jdbc_options(df.schema, url, table_name)
+    )
+
+
 @query(
     "scan_jdbc_partitioned",
     oracle=f"""
