@@ -19,6 +19,7 @@ from .streaming import windows as stream_windows  # noqa: F401
 # Operator modules register themselves on import.
 from .operators import (  # noqa: F401
     aggregates,
+    analytics,
     etl,
     io_ops,
     llm,

