@@ -2,8 +2,9 @@
 README.md:10 "transform it using PySpark" / README.md:8 partitioning+cluster
 tuning): batch sessionization, EWMA smoothing, Pareto skylines, exact
 correlation matrices, column profiling, concentration scoring, MAD anomaly
-detection, weighted medians, event-path mining, and a Z-order clustering
-audit.
+detection, weighted medians, event-path mining, a Z-order clustering audit,
+RFM segmentation, time-weighted averages, rolling medians, and a
+data-freshness monitor.
 
 Scale design (100 TB):
 - Every windowed operator partitions by a real key (user_id, brand,
@@ -784,4 +785,298 @@ def zorder_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("x").alias("max_x"),
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rfm_segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_ASOF_US = 1_009_843_200_000_000  # naive epoch µs of 2002-01-01 00:00:00
+
+
+@query(
+    "rfm_segmentation",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) AS us,
+         {sql_scaled_long('o_totalprice', 100)} AS price_c
+  FROM orders
+),
+u AS (
+  SELECT o.o_custkey AS custkey, c.c_mktsegment AS segment,
+         ({_RFM_ASOF_US} - MAX(o.us)) // 86400000000 AS r_days,
+         COUNT(*) AS f_orders,
+         (SUM(o.price_c) / 100.0) AS m_total
+  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT custkey, segment, r_days, f_orders, m_total,
+         COUNT(*) OVER (PARTITION BY segment) AS n,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY r_days ASC, custkey) AS r_rank,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY f_orders DESC, custkey) AS f_rank,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY m_total DESC, custkey) AS m_rank
+  FROM u
+)
+SELECT custkey, segment, r_days, f_orders, m_total,
+       CAST(5 - ((r_rank - 1) * 5) // n AS BIGINT) AS r_score,
+       CAST(5 - ((f_rank - 1) * 5) // n AS BIGINT) AS f_score,
+       CAST(5 - ((m_rank - 1) * 5) // n AS BIGINT) AS m_score
+FROM s
+""",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary) scored
+    WITHIN each market segment — the standard practice that also keeps
+    every window partitioned by a real key (no global sort). Raw metrics
+    come from one orders aggregation keyed by custkey; quintile scores are
+    rank-based (1 + floor((rank−1)·5/n) flipped so 5 = best), which is pure
+    integer arithmetic over a total order — deterministic in both engines,
+    unlike percentile-interpolation cutoffs. Recency is measured against a
+    fixed as-of date (a run parameter in production — avoids a global
+    max-date pass). At 100 TB the orders agg is the only big shuffle; the
+    per-segment score windows run over the already-aggregated customer
+    dimension, and the documented scale swap is broadcast approx-quantile
+    cutoffs + a pure map compare."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        epoch_us("o_orderdate").alias("us"),
+        scaled_long(F.col("o_totalprice"), 100).alias("price_c"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    u = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_custkey").alias("custkey"), "segment")
+        .agg(
+            F.floor(
+                (F.lit(_RFM_ASOF_US) - F.max("us")) / F.lit(86_400_000_000)
+            ).alias("r_days"),
+            F.count(F.lit(1)).alias("f_orders"),
+            (F.sum("price_c") / F.lit(100.0)).alias("m_total"),
+        )
+    )
+    wseg = Window.partitionBy("segment")
+    s = u.select(
+        "custkey",
+        "segment",
+        "r_days",
+        "f_orders",
+        "m_total",
+        F.count(F.lit(1)).over(wseg).alias("n"),
+        F.row_number().over(wseg.orderBy(F.asc("r_days"), "custkey")).alias("r_rank"),
+        F.row_number().over(wseg.orderBy(F.desc("f_orders"), "custkey")).alias("f_rank"),
+        F.row_number()
+        .over(wseg.orderBy(F.desc("m_total"), "custkey"))
+        .alias("m_rank"),
+    )
+
+    def score(rank: str) -> Column:
+        return (
+            F.lit(5) - F.floor((F.col(rank) - 1) * 5 / F.col("n"))
+        ).cast("long")
+
+    return s.select(
+        "custkey",
+        "segment",
+        "r_days",
+        "f_orders",
+        "m_total",
+        score("r_rank").alias("r_score"),
+        score("f_rank").alias("f_score"),
+        score("m_rank").alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+seg AS (
+  SELECT user_id, v_c, us,
+         lead(v_c) OVER w AS next_v,
+         lead(us)  OVER w AS next_us
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+a AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         MAX(us) - MIN(us) AS span_us,
+         SUM(CASE WHEN next_us IS NOT NULL
+                  THEN CAST(v_c + next_v AS HUGEINT) * (next_us - us)
+                  ELSE CAST(0 AS HUGEINT) END) AS wsum,
+         SUM(v_c) AS plain_sum
+  FROM seg
+  GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CASE WHEN span_us = 0
+            THEN (plain_sum / (100.0 * n_events))
+            -- int128 -> double via VARCHAR (see agg_corr_matrix)
+            ELSE CAST(CAST(wsum AS VARCHAR) AS DOUBLE)
+                 / (2.0 * 100.0 * span_us)
+       END AS twa_value
+FROM a
+""",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value series — the hypertable
+    aggregate that answers "what was the average LEVEL over the window",
+    not "the average of the samples" (irregular sampling biases plain AVG
+    toward busy periods). Trapezoidal rule in exact integers: each
+    consecutive pair contributes (vᵢ+vᵢ₊₁)·Δt, accumulated in
+    decimal(38,0)/int128 (cents × microsecond gaps × many rows overflows
+    int64), divided once by 2·span. Degenerate single-instant series fall
+    back to the plain exact mean. One lead-window pass and the rollup both
+    key on user_id — a single shuffle of the event log, same as
+    sessionize_batch."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("us"),
+        scaled_long(F.col("value"), 100).alias("v_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = e.select(
+        "user_id",
+        "v_c",
+        "us",
+        F.lead("v_c").over(w).alias("next_v"),
+        F.lead("us").over(w).alias("next_us"),
+    )
+    dec = "decimal(38,0)"
+    contrib = F.when(
+        F.col("next_us").isNotNull(),
+        ((F.col("v_c") + F.col("next_v")).cast(dec) * (F.col("next_us") - F.col("us"))).cast(dec),
+    ).otherwise(F.lit(0).cast(dec))
+    a = seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+        F.sum(contrib).alias("wsum"),
+        F.sum("v_c").alias("plain_sum"),
+    )
+    return a.select(
+        "user_id",
+        "n_events",
+        F.when(
+            F.col("span_us") == 0,
+            F.col("plain_sum") / (F.lit(100.0) * F.col("n_events")),
+        )
+        .otherwise(
+            F.col("wsum").cast("double")
+            / (F.lit(2.0) * F.lit(100.0) * F.col("span_us"))
+        )
+        .alias("twa_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_median
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+r AS (
+  SELECT user_id, event_id, us, v_c,
+         list(v_c) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS lst
+  FROM e
+)
+SELECT user_id, event_id, us,
+       (list_sort(lst)[CAST((len(lst) + 1) // 2 AS INT)] / 100.0)
+         AS rolling_median
+FROM r
+""",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (lower-median of the last 7 observations) per
+    user — the robust smoother for spiky series where a moving average
+    chases outliers (win_moving_avg's complement). The frame is collected,
+    sorted, and indexed — O(k log k) per row with k=7 bounded, so the
+    window never holds unbounded state; all comparisons are on exact
+    integer cents, making the pick deterministic under duplicates in both
+    engines. One keyed window shuffle on user_id."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("us"),
+        scaled_long(F.col("value"), 100).alias("v_c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    lst = F.collect_list("v_c").over(w)
+    med = F.element_at(
+        F.array_sort(lst), F.floor((F.size(lst) + 1) / 2).cast("int")
+    )
+    return e.select(
+        "user_id", "event_id", "us", (med / F.lit(100.0)).alias("rolling_median")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_freshness_lag
+# ---------------------------------------------------------------------------
+
+_FRESH_ASOF_US = 1_706_659_200_000_000  # naive epoch µs of 2024-01-31 00:00:00
+_FRESH_SLA_US = 86_400_000_000  # 1 day
+
+
+@query(
+    "dq_freshness_lag",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MAX(epoch_us(ts)) AS max_us,
+       {_FRESH_ASOF_US} - MAX(epoch_us(ts)) AS lag_us,
+       ({_FRESH_ASOF_US} - MAX(epoch_us(ts))) > {_FRESH_SLA_US} AS stale
+FROM events
+GROUP BY event_type
+""",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness monitor: per feed (event_type), the lag between the
+    newest event and the pipeline's as-of instant, flagged against a 1-day
+    SLA — the standard post-load integrity check (reference README.md:12)
+    that catches a silently-stalled upstream BEFORE consumers read stale
+    data. One map-side-combinable aggregation over the log: MAX pushes
+    partial per partition, so the check costs one tiny shuffle at any
+    scale and composes with incr_load_watermark's high-watermark (this is
+    its monitoring face)."""
+    asof = F.lit(_FRESH_ASOF_US)
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_type", epoch_us("ts").alias("us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("us").alias("max_us"),
+            (asof - F.max("us")).alias("lag_us"),
+            ((asof - F.max("us")) > F.lit(_FRESH_SLA_US)).alias("stale"),
+        )
     )

@@ -275,3 +275,105 @@ def test_all_new_ops_registered_with_oracles():
 
     for q in _NEW:
         assert q in QUERIES and q in ORACLES
+
+
+# ---- round-3 batch 2 -------------------------------------------------------
+
+
+def test_rfm_scores_valid_and_monotone(spark, sf_dir):
+    """Scores are 1..5; within a segment, a strictly better raw metric never
+    gets a strictly worse score; every customer with orders is scored."""
+    rows = QUERIES["rfm_segmentation"](spark, sf_dir).collect()
+    assert rows
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.r_days >= 0
+        by_seg.setdefault(r.segment, []).append(r)
+    for seg_rows in by_seg.values():
+        for metric, score, better_is_smaller in [
+            ("r_days", "r_score", True),
+            ("f_orders", "f_score", False),
+            ("m_total", "m_score", False),
+        ]:
+            s = sorted(
+                seg_rows,
+                key=lambda r: getattr(r, metric),
+                reverse=not better_is_smaller,
+            )
+            for a, b in zip(s, s[1:]):
+                if getattr(a, metric) != getattr(b, metric):
+                    assert getattr(a, score) >= getattr(b, score)
+
+
+def test_rfm_quintiles_balanced(spark, sf_dir):
+    """Rank-based scoring makes quintiles balanced to within one customer
+    per segment."""
+    rows = QUERIES["rfm_segmentation"](spark, sf_dir).collect()
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r.segment, []).append(r)
+    for seg_rows in by_seg.values():
+        n = len(seg_rows)
+        if n < 10:
+            continue
+        counts = Counter(r.r_score for r in seg_rows)
+        assert max(counts.values()) - min(counts.values()) <= 1
+
+
+def test_twa_constant_series_and_simple_case(spark, sf_dir):
+    """TWA of the fixture matches a brute-force trapezoid in Python."""
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    series: dict[int, list[tuple[int, int]]] = {}
+    for r in ev:
+        us = int(r.ts.timestamp() * 1_000_000) if hasattr(r.ts, "timestamp") else 0
+        series.setdefault(r.user_id, []).append((us, int(r.value * 100 + 0.5)))
+    out = {r.user_id: r for r in QUERIES["time_weighted_avg"](spark, sf_dir).collect()}
+    for uid, pts in series.items():
+        span = pts[-1][0] - pts[0][0]
+        if span == 0:
+            expect = sum(v for _, v in pts) / (100.0 * len(pts))
+        else:
+            wsum = sum(
+                (va + vb) * (tb - ta)
+                for (ta, va), (tb, vb) in zip(pts, pts[1:])
+            )
+            expect = wsum / (2.0 * 100.0 * span)
+        assert abs(out[uid].twa_value - expect) < 1e-6
+        assert out[uid].n_events == len(pts)
+
+
+def test_rolling_median_window_model(spark, sf_dir):
+    rows = sorted(
+        QUERIES["win_rolling_median"](spark, sf_dir).collect(),
+        key=lambda r: (r.user_id, r.us, r.event_id),
+    )
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    hist: dict[int, list[int]] = {}
+    expected: dict[int, float] = {}
+    for r in ev:
+        h = hist.setdefault(r.user_id, [])
+        h.append(int(r.value * 100 + 0.5))
+        lst = sorted(h[-7:])
+        expected[r.event_id] = lst[(len(lst) + 1) // 2 - 1] / 100.0
+    for r in rows:
+        assert abs(r.rolling_median - expected[r.event_id]) < 1e-9
+
+
+def test_freshness_lag_consistency(spark, sf_dir):
+    rows = QUERIES["dq_freshness_lag"](spark, sf_dir).collect()
+    assert len(rows) == 5  # five event types in the fixtures
+    for r in rows:
+        assert r.lag_us == 1_706_659_200_000_000 - r.max_us
+        assert r.stale == (r.lag_us > 86_400_000_000)
+        assert r.n_events > 0
