@@ -786,3 +786,88 @@ def dq_reconcile_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s.cents") == F.col("t.cents")).alias("sums_match"),
         (F.col("s.key_sig") == F.col("t.key_sig")).alias("keys_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: join-view delta
+# ---------------------------------------------------------------------------
+
+_IVM_WM = "1999-01-01 00:00:00"  # orders loaded before this are "yesterday's"
+
+
+@query(
+    "ivm_join_delta",
+    oracle=f"""
+WITH o_old AS (SELECT * FROM orders WHERE o_orderdate <  TIMESTAMP '{_IVM_WM}'),
+o_new AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{_IVM_WM}'),
+c_old AS (SELECT * FROM customer WHERE c_custkey % 20 <> 0),
+c_new AS (SELECT * FROM customer WHERE c_custkey % 20 = 0),
+v AS (
+  SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment AS segment,
+         o.o_totalprice, epoch_us(o.o_orderdate) AS order_us
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+v_old AS (
+  SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment AS segment,
+         o.o_totalprice, epoch_us(o.o_orderdate) AS order_us
+  FROM o_old o JOIN c_old c ON o.o_custkey = c.c_custkey
+)
+SELECT * FROM v
+EXCEPT ALL
+SELECT * FROM v_old
+""",
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a join view — the join-side
+    completion of rollup_incremental_merge's aggregate IVM (reference
+    README.md:4 incremental loads). Yesterday's materialization is
+    V_old = O_old ⋈ C_old; today brings insert deltas ΔO (orders past the
+    load watermark) and ΔC (newly-landed customers). Instead of re-joining
+    the full base tables, the maintenance delta is the textbook three-term
+    identity for insert-only feeds:
+
+        ΔV = ΔO⋈C_old  ∪all  O_old⋈ΔC  ∪all  ΔO⋈ΔC
+
+    Each term joins a SMALL delta against a base — Spark broadcasts the
+    delta side, so the petabyte base is never reshuffled and steady-state
+    cost tracks the delta, not the view. The ORACLE deliberately uses the
+    other formulation — full V EXCEPT ALL V_old — so the cross-engine hash
+    equality IS a proof of the IVM identity on real data, multiset
+    semantics included."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    wm = F.lit(_IVM_WM).cast("timestamp_ntz")
+    o_old = o.filter(F.col("o_orderdate") < wm)
+    o_new = o.filter(F.col("o_orderdate") >= wm)
+    c_old = c.filter(F.col("c_custkey") % 20 != 0)
+    c_new = c.filter(F.col("c_custkey") % 20 == 0)
+
+    def view(odf: DataFrame, cdf: DataFrame, bcast_left: bool) -> DataFrame:
+        # broadcast whichever side is the (small) delta
+        left = F.broadcast(odf) if bcast_left else odf
+        right = cdf if bcast_left else F.broadcast(cdf)
+        return left.join(right, F.col("o_custkey") == F.col("c_custkey")).select(
+            "o_orderkey",
+            "o_custkey",
+            "segment",
+            "o_totalprice",
+            F.timestamp_diff(
+                "MICROSECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                F.col("o_orderdate"),
+            ).alias("order_us"),
+        )
+
+    delta = (
+        view(o_new, c_old, bcast_left=True)
+        .unionByName(view(o_old, c_new, bcast_left=False))
+        .unionByName(view(o_new, c_new, bcast_left=True))
+    )
+    return delta

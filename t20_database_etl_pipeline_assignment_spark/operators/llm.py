@@ -2429,3 +2429,85 @@ def emb_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (excerpt / quote detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH snip AS (
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(
+           toks[1 : GREATEST(4, (len(toks) * 2) // 5)], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE doc_id % 7 = 0
+),
+docs_in AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM snip
+),
+{_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT s.doc_id AS snippet_id, c.doc_id AS container_id, COUNT(*) AS i
+  FROM shing s JOIN shing c ON s.shingle = c.shingle
+  WHERE s.doc_id >= 2000000 AND c.doc_id < 2000000
+  GROUP BY 1, 2
+)
+SELECT snippet_id, container_id,
+       round(i / (1.0 * sa.sz), 6) AS containment
+FROM inter
+JOIN sizes sa ON snippet_id = sa.doc_id
+WHERE i / (1.0 * sa.sz) >= 0.9
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric-Jaccard) dedup — excerpt/quote detection:
+    |A∩B| / |A| flags a short incoming document whose shingles are almost
+    all inside some corpus document, the case symmetric Jaccard MISSES
+    because the union is dominated by the longer doc (a 40% excerpt of a
+    long page has Jaccard ≈ 0.4 but containment 1.0 — exactly the
+    boilerplate/quote duplication an LLM-curation pipeline must catch).
+    The audit surface is planted in-query: every 7th document contributes
+    a prefix snippet (ids +2e6) probing the corpus. Candidates come ONLY
+    from snippet×corpus inverted-index collisions (the incremental-dedup
+    orientation — never corpus×corpus), so cost is O(batch + collisions);
+    the 100 TB scale path swaps the exact inverted index for the MinHash
+    band index with a one-sided (containment) estimator. Exact integer
+    shingle counts; the rounded ratio is a single identical double op.
+
+    Reference parity: README.md:12 ("data integrity") dedup family
+    extension; same verification-tier contract as dedup_ngram_jaccard."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    k = F.greatest(F.lit(4), F.floor(F.size(toks) * 2 / 5).cast("int"))
+    snip = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 1, k)).alias("text"),
+        )
+    )
+    sh_all = shingles(d.unionByName(snip))
+    sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s = sh_all.filter(F.col("doc_id") >= 2000000).alias("s")
+    c = sh_all.filter(F.col("doc_id") < 2000000).alias("c")
+    inter = (
+        s.join(c, F.col("s.shingle") == F.col("c.shingle"))
+        .groupBy(
+            F.col("s.doc_id").alias("snippet_id"),
+            F.col("c.doc_id").alias("container_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = inter.join(
+        sizes.withColumnRenamed("doc_id", "snippet_id"), "snippet_id"
+    ).withColumn("c_raw", F.col("i") / (F.lit(1.0) * F.col("sz")))
+    return j.filter(F.col("c_raw") >= 0.9).select(
+        "snippet_id", "container_id", F.round("c_raw", 6).alias("containment")
+    )

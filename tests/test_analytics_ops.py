@@ -377,3 +377,49 @@ def test_freshness_lag_consistency(spark, sf_dir):
         assert r.lag_us == 1_706_659_200_000_000 - r.max_us
         assert r.stale == (r.lag_us > 86_400_000_000)
         assert r.n_events > 0
+
+
+# ---- round-3 batch 3 (llm.py / etl.py additions) ---------------------------
+
+
+def test_containment_planted_snippets_found(spark, sf_dir):
+    """Every planted prefix snippet with enough shingles is reported
+    contained in its parent with containment 1.0; containment is in
+    (0, 1]."""
+    rows = QUERIES["dedup_containment"](spark, sf_dir).collect()
+    assert rows
+    pairs = {(r.snippet_id, r.container_id): r.containment for r in rows}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    planted_found = sum(
+        1
+        for (s, c), v in pairs.items()
+        if s - 2000000 == c and abs(v - 1.0) < 1e-9
+    )
+    # nearly all of the ~n/7 planted snippets must surface as exact
+    # containment in their own parent (tiny docs may yield <2 shingles)
+    assert planted_found >= (n_docs // 7) * 9 // 10
+    for v in pairs.values():
+        assert 0.9 <= v <= 1.0
+
+
+def test_ivm_delta_identity_against_full_recompute(spark, sf_dir):
+    """The three-term delta equals full view minus old view (multiset),
+    recomputed independently with Spark itself."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    wm = F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    full = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey")
+    old = (
+        o.filter(F.col("o_orderdate") < wm)
+        .join(
+            c.filter(F.col("c_custkey") % 20 != 0),
+            o.o_custkey == c.c_custkey,
+        )
+        .select("o_orderkey")
+    )
+    expected = full.exceptAll(old).count()
+    got = QUERIES["ivm_join_delta"](spark, sf_dir).count()
+    assert got == expected
+    # delta terms are disjoint: no duplicated (orderkey, custkey) pairs
+    df = QUERIES["ivm_join_delta"](spark, sf_dir)
+    assert df.count() == df.select("o_orderkey", "o_custkey").distinct().count()
