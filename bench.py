@@ -88,7 +88,12 @@ def main() -> None:
     # JSON line with only the slowest queries, so the driver's truncated
     # capture always parses it (round-1 BENCH had parsed:null because a
     # 113-entry line got clipped).
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # SPARK_GRAFT_DETAIL redirects the detail file (tests point it at a tmp
+    # path so a suite run can't clobber the checked-in sf0.1 record).
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
     with open(detail_path, "w") as f:
         json.dump(
             {

@@ -1080,3 +1080,314 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((asof - F.max("us")) > F.lit(_FRESH_SLA_US)).alias("stale"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# win_cusum_drift
+# ---------------------------------------------------------------------------
+
+_CUSUM_K_C = 2500   # reference drift allowance, cents (k)
+_CUSUM_H_C = 20000  # alarm threshold, cents (h)
+
+
+@query(
+    "win_cusum_drift",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST((SUM(v_c) - SUM(v_c) % COUNT(*)) / COUNT(*) AS BIGINT) AS mean_c
+  FROM e GROUP BY event_type
+),
+p AS (
+  SELECT e.event_type, e.event_id, e.us,
+         SUM(e.v_c - m.mean_c - {_CUSUM_K_C}) OVER w AS pref
+  FROM e JOIN m ON e.event_type = m.event_type
+  WINDOW w AS (PARTITION BY e.event_type ORDER BY e.us, e.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type, event_id, us,
+         CAST(pref - MIN(pref) OVER w2 AS BIGINT) AS cusum_c
+  FROM p
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, event_id, us,
+       (cusum_c / 100.0) AS cusum,
+       cusum_c > {_CUSUM_H_C} AS alarm
+FROM s
+""",
+)
+def win_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per event type: the control-chart
+    statistic Sᵢ = max(0, Sᵢ₋₁ + xᵢ − μ − k), alarmed when S > h.
+    The recursion LOOKS sequential, but the classic identity
+    S = P − running-min(P) over the prefix sums P of (x − μ − k) turns it
+    into two stock window passes — no iterative loop, no UDF with state —
+    which is what makes change-point detection feasible over a 100 TB log:
+    both windows shuffle once on event_type and spill gracefully. μ is the
+    per-type integer floor-mean (exact in both engines); all accumulation
+    is integer cents, so the max-reset boundary can't flip from float
+    drift after a billion rows."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        epoch_us("ts").alias("us"),
+        scaled_long(F.col("value"), 100).alias("v_c"),
+    )
+    # exact integer floor-mean: (sum - sum % n) / n == sum div n for sum>=0
+    m = e.groupBy("event_type").agg(
+        ((F.sum("v_c") - F.sum("v_c") % F.count(F.lit(1))) / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_c")
+    )
+    run = Window.partitionBy("event_type").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = e.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "event_id",
+        "us",
+        F.sum(
+            F.col("v_c") - F.col("mean_c") - F.lit(_CUSUM_K_C)
+        ).over(run).alias("pref"),
+    )
+    s = p.select(
+        "event_type",
+        "event_id",
+        "us",
+        (F.col("pref") - F.min("pref").over(run)).cast("long").alias("cusum_c"),
+    )
+    return s.select(
+        "event_type",
+        "event_id",
+        "us",
+        (F.col("cusum_c") / F.lit(100.0)).alias("cusum"),
+        (F.col("cusum_c") > F.lit(_CUSUM_H_C)).alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_bollinger_bands
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_bollinger_bands",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+r AS (
+  SELECT user_id, event_id, us, v_c,
+         COUNT(*) OVER w AS n,
+         SUM(v_c) OVER w AS s,
+         SUM(CAST(v_c AS HUGEINT) * v_c) OVER w AS ss
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, us,
+       (v_c / 100.0) AS value,
+       (s / (100.0 * n)) AS sma,
+       CASE WHEN n > 1 THEN
+         (s / (100.0 * n))
+           + 2.0 * sqrt((n * CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (1.0 * n * n * (n - 1))) / 100.0
+       END AS upper_band,
+       CASE WHEN n > 1 THEN
+         (s / (100.0 * n))
+           - 2.0 * sqrt((n * CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (1.0 * n * n * (n - 1))) / 100.0
+       END AS lower_band
+FROM r
+""",
+)
+def win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands per user: 10-observation simple moving average ± 2
+    rolling sample standard deviations. The rolling variance comes from
+    exact integer frame sums (Σx, Σx² — squares in int128/decimal38 with
+    the VARCHAR-hop double conversion, see agg_corr_matrix), finished by
+    ONE identical float expression in both engines — so even the sqrt is
+    bit-stable. Contrast with F.stddev over the frame: per-frame float
+    accumulation whose order differs between engines and across retries.
+    One keyed window shuffle; bounded frame ⇒ O(1) state per row."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("us"),
+        scaled_long(F.col("value"), 100).alias("v_c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    r = e.select(
+        "user_id",
+        "event_id",
+        "us",
+        "v_c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v_c").over(w).alias("s"),
+        F.sum((F.col("v_c").cast(dec) * F.col("v_c")).cast(dec)).over(w).alias("ss"),
+    )
+    n = F.col("n")
+    s = F.col("s")
+    sma = s / (F.lit(100.0) * n)
+    sd = F.sqrt(
+        (n * F.col("ss").cast("double") - s.cast("double") * s.cast("double"))
+        / (F.lit(1.0) * n * n * (n - 1))
+    )
+    band = F.lit(2.0) * sd / F.lit(100.0)
+    return r.select(
+        "user_id",
+        "event_id",
+        "us",
+        (F.col("v_c") / F.lit(100.0)).alias("value"),
+        sma.alias("sma"),
+        F.when(n > 1, sma + band).alias("upper_band"),
+        F.when(n > 1, sma - band).alias("lower_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_drawdown
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+c AS (
+  SELECT user_id, event_id, us,
+         SUM(v_c) OVER w AS equity_c
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT user_id, event_id, us, equity_c,
+         MAX(equity_c) OVER w2 AS peak_c
+  FROM c
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       (MAX(peak_c - equity_c) / 100.0) AS max_drawdown,
+       (MAX(equity_c) / 100.0) AS peak_equity,
+       COUNT(*) AS n_events
+FROM d
+GROUP BY user_id
+""",
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the cumulative value series
+    (peak-to-trough loss of the running total — the risk statistic for any
+    accumulating quantity: revenue, balance, token budget). Running sum →
+    running max → max gap: three compositions of the SAME keyed window, so
+    Spark plans one shuffle + one per-partition sort serving both window
+    passes and the final rollup reuses the partitioning. Exact integer
+    cents throughout — a running sum of doubles would accumulate ulp drift
+    exactly where the peak comparison decides."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("us"),
+        scaled_long(F.col("value"), 100).alias("v_c"),
+    )
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = e.select(
+        "user_id", "event_id", "us", F.sum("v_c").over(run).alias("equity_c")
+    )
+    d = c.select(
+        "user_id",
+        "equity_c",
+        F.max("equity_c").over(run).alias("peak_c"),
+    )
+    return d.groupBy("user_id").agg(
+        (F.max(F.col("peak_c") - F.col("equity_c")) / F.lit(100.0)).alias(
+            "max_drawdown"
+        ),
+        (F.max("equity_c") / F.lit(100.0)).alias("peak_equity"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# seasonality_weekday_profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seasonality_weekday_profile",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS weekday,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+wd AS (
+  SELECT event_type, weekday, COUNT(*) AS n, SUM(v_c) AS s
+  FROM e GROUP BY event_type, weekday
+),
+tot AS (
+  SELECT event_type, SUM(n) AS tn, SUM(s) AS ts
+  FROM wd GROUP BY event_type
+)
+SELECT w.event_type, w.weekday, w.n AS n_events,
+       (w.s / (100.0 * w.n)) AS weekday_avg,
+       ((w.s / (100.0 * w.n)) - (t.ts / (100.0 * t.tn))) AS deviation_from_mean
+FROM wd w JOIN tot t ON w.event_type = t.event_type
+""",
+)
+def seasonality_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: average value per
+    weekday and its deviation from the type's overall mean — the decompose
+    step before any seasonal adjustment. Weekday comes from integer
+    floor-division of epoch microseconds (epoch day 0 = Thursday, hence
+    the +4 shift; no timezone/calendar library in the hot path, identical
+    in both engines). Two aggregations over the tiny (type × 7) domain,
+    both map-side combinable; the second reuses the first's output, so the
+    event log is scanned once and shuffled once at any scale."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.floor(epoch_us("ts") / F.lit(86_400_000_000)) + 4) % 7)
+        .cast("long")
+        .alias("weekday"),
+        scaled_long(F.col("value"), 100).alias("v_c"),
+    )
+    wd = e.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v_c").alias("s")
+    )
+    tot = wd.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts")
+    )
+    avg_wd = F.col("s") / (F.lit(100.0) * F.col("n"))
+    avg_all = F.col("ts") / (F.lit(100.0) * F.col("tn"))
+    return (
+        wd.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "weekday",
+            F.col("n").alias("n_events"),
+            avg_wd.alias("weekday_avg"),
+            (avg_wd - avg_all).alias("deviation_from_mean"),
+        )
+    )

@@ -423,3 +423,111 @@ def test_ivm_delta_identity_against_full_recompute(spark, sf_dir):
     # delta terms are disjoint: no duplicated (orderkey, custkey) pairs
     df = QUERIES["ivm_join_delta"](spark, sf_dir)
     assert df.count() == df.select("o_orderkey", "o_custkey").distinct().count()
+
+
+# ---- round-3 batch 4 -------------------------------------------------------
+
+
+def test_cusum_matches_sequential_model(spark, sf_dir):
+    """The window formulation equals the textbook sequential recursion
+    S_i = max(0, S_{i-1} + x_i - mu - k)."""
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.event_type, r.ts, r.event_id),
+    )
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r)
+    out = {
+        (r.event_type, r.event_id): r
+        for r in QUERIES["win_cusum_drift"](spark, sf_dir).collect()
+    }
+    for et, rows in by_type.items():
+        vals = [int(r.value * 100 + 0.5) for r in rows]
+        mu = sum(vals) // len(vals)
+        s = 0
+        for r, v in zip(rows, vals):
+            s = max(0, s + v - mu - 2500)
+            got = out[(et, r.event_id)]
+            assert abs(got.cusum - s / 100.0) < 1e-9
+            assert got.alarm == (s > 20000)
+
+
+def test_bollinger_bands_model(spark, sf_dir):
+    import math
+
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    hist: dict[int, list[int]] = {}
+    out = {
+        r.event_id: r
+        for r in QUERIES["win_bollinger_bands"](spark, sf_dir).collect()
+    }
+    for r in ev:
+        h = hist.setdefault(r.user_id, [])
+        h.append(int(r.value * 100 + 0.5))
+        frame = h[-10:]
+        n = len(frame)
+        sma = sum(frame) / (100.0 * n)
+        got = out[r.event_id]
+        assert abs(got.sma - sma) < 1e-9
+        if n > 1:
+            var = (n * sum(v * v for v in frame) - sum(frame) ** 2) / (
+                n * n * (n - 1)
+            )
+            sd = math.sqrt(var) / 100.0
+            assert abs(got.upper_band - (sma + 2 * sd)) < 1e-9
+            assert abs(got.lower_band - (sma - 2 * sd)) < 1e-9
+            assert got.lower_band <= got.sma <= got.upper_band
+        else:
+            assert got.upper_band is None and got.lower_band is None
+
+
+def test_drawdown_model(spark, sf_dir):
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    series: dict[int, list[int]] = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append(int(r.value * 100 + 0.5))
+    out = {r.user_id: r for r in QUERIES["win_drawdown"](spark, sf_dir).collect()}
+    for uid, vals in series.items():
+        eq = 0
+        peak = -(10**18)
+        mdd = 0
+        for v in vals:
+            eq += v
+            peak = max(peak, eq)
+            mdd = max(mdd, peak - eq)
+        assert abs(out[uid].max_drawdown - mdd / 100.0) < 1e-9
+        assert abs(out[uid].peak_equity - peak / 100.0) < 1e-9
+        assert out[uid].n_events == len(vals)
+        assert out[uid].max_drawdown >= 0.0
+
+
+def test_seasonality_profile_consistency(spark, sf_dir):
+    rows = QUERIES["seasonality_weekday_profile"](spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.weekday <= 6
+        by_type.setdefault(r.event_type, []).append(r)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    totals = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for et, rs in by_type.items():
+        assert sum(r.n_events for r in rs) == totals[et]
+        # deviations are centred: weighted sum over weekdays ≈ 0
+        wsum = sum(r.deviation_from_mean * r.n_events for r in rs)
+        assert abs(wsum) < 1e-6 * totals[et]

@@ -9,8 +9,13 @@ import subprocess
 import sys
 
 
-def test_bench_emits_contract_json():
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+def test_bench_emits_contract_json(tmp_path):
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_DETAIL=detail_path,
+    )
     out = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -30,8 +35,7 @@ def test_bench_emits_contract_json():
     assert len(line) < 2000
     assert payload["queries"]  # top-N slowest on stdout
     assert all(isinstance(v, (int, float)) for v in payload["queries"].values())
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_DETAIL.json")) as f:
+    with open(detail_path) as f:
         detail = json.load(f)
     assert payload["n_queries"] == len(detail["queries"]) >= 99
     assert detail["value"] == payload["value"]
