@@ -478,3 +478,76 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming CUSUM (control-chart drift detection on a live stream)
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, n_events bigint, final_cusum double, "
+    "max_cusum double, n_alarms bigint"
+)
+CUSUM_STATE_SCHEMA = "s_c bigint, n bigint, max_c bigint, alarms bigint"
+
+
+def make_cusum_fn(targets_c: dict, k_c: int = 2500, h_c: int = 20000):
+    """Build the applyInPandasWithState kernel for streaming CUSUM. The
+    per-type target mean μ (exact cents) is a CALIBRATION parameter — in a
+    control chart μ comes from a reference period, not from the stream —
+    which is exactly what lets the streaming op carry O(1) state per key:
+    (current S, count, max S, alarm count). Rows are sorted by event time
+    inside each micro-batch; across batches arrival order is stream order,
+    the standard streaming contract."""
+
+    def fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        s_c, n, max_c, alarms = state.get if state.exists else (0, 0, 0, 0)
+        mu = targets_c[key[0]]
+        frames = [pdf for pdf in pdfs]
+        pdf = pd.concat(frames).sort_values(["us", "event_id"])
+        v_c = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        for x in v_c:  # bounded by micro-batch size; state stays O(1)
+            s_c = max(0, s_c + int(x) - mu - k_c)
+            max_c = max(max_c, s_c)
+            if s_c > h_c:
+                alarms += 1
+        n += len(v_c)
+        state.update((s_c, n, max_c, alarms))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "final_cusum": [s_c / 100.0],
+                "max_cusum": [max_c / 100.0],
+                "n_alarms": [alarms],
+            }
+        )
+
+    return fn
+
+
+def stateful_cusum(stream: DataFrame, targets_c: dict) -> DataFrame:
+    """Streaming face of operators/analytics.win_cusum_drift: one-sided
+    CUSUM drift detection maintained in explicit keyed state. The batch
+    operator proves the window identity (prefix-sum − running-min); this
+    operator proves the same statistic is maintainable ON A LIVE STREAM
+    with state bounded by |event types|, not stream length. Batch/stream
+    parity is pinned in tests/test_streaming.py."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = stream.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "value",
+    )
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        make_cusum_fn(targets_c),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

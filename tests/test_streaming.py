@@ -446,3 +446,54 @@ def test_scd2_sink_recovers_between_rename_crash(spark, tmp_path):
     recover_dim(dim)
     assert os.path.exists(dim)
     assert spark.read.parquet(dim).collect()[0]["v"] == "a"
+
+
+def test_stateful_cusum_parity(spark, sf_dir):
+    """Streaming CUSUM (applyInPandasWithState, O(1) state per event type)
+    must agree with the batch window-identity formulation
+    (analytics.win_cusum_drift) after one availableNow pass: same event
+    count, same final/max statistic, same alarm count per type."""
+    from t20_database_etl_pipeline_assignment_spark.registry import QUERIES
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+    from t20_database_etl_pipeline_assignment_spark.streaming.windows import (
+        stateful_cusum,
+    )
+
+    # calibration targets: the same exact integer floor-means the batch op uses
+    e = table(spark, sf_dir, "events")
+    targets = {
+        r.event_type: r.mean_c
+        for r in e.groupBy("event_type")
+        .agg(
+            (
+                (
+                    F.sum(scaled_long(F.col("value"), 100))
+                    - F.sum(scaled_long(F.col("value"), 100)) % F.count(F.lit(1))
+                )
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("mean_c")
+        )
+        .collect()
+    }
+
+    stream = read_events_stream(spark, sf_dir)
+    got = {
+        r.event_type: r
+        for r in run_available_now(
+            stateful_cusum(stream, targets), "t20_stateful_cusum", output_mode="update"
+        ).collect()
+    }
+
+    batch = QUERIES["win_cusum_drift"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in batch:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rows in by_type.items():
+        rows.sort(key=lambda r: (r.us, r.event_id))
+        g = got[et]
+        assert g.n_events == len(rows)
+        assert abs(g.final_cusum - rows[-1].cusum) < 1e-9
+        assert abs(g.max_cusum - max(r.cusum for r in rows)) < 1e-9
+        assert g.n_alarms == sum(1 for r in rows if r.alarm)
