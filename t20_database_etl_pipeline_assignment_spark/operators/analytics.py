@@ -1391,3 +1391,290 @@ def seasonality_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (avg_wd - avg_all).alias("deviation_from_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# market_basket_pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+freq AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS pk1, b.l_partkey AS pk2, COUNT(*) AS c_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.pk1, p.pk2, p.c_ab,
+       (p.c_ab / (1.0 * n.n_orders)) AS support,
+       (p.c_ab / (1.0 * fa.c)) AS confidence,
+       ((p.c_ab * n.n_orders) / (1.0 * fa.c * fb.c)) AS lift
+FROM pairs p
+JOIN freq fa ON p.pk1 = fa.l_partkey
+JOIN freq fb ON p.pk2 = fb.l_partkey
+CROSS JOIN n
+WHERE p.c_ab >= 2
+""",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: support,
+    confidence, and lift for every part pair co-ordered at least twice —
+    the Apriori first rung, the recommender/affinity primitive. The pair
+    join is a SELF-JOIN ON THE ORDER KEY, so its fan-out is Σ C(|basket|,2)
+    — bounded by basket size (≤ single digits in order data), never
+    corpus² — and it reuses the one hash partition of the items relation.
+    Item frequencies broadcast (|parts| rows). All ratios are single
+    identical double expressions over exact integer counts — bit-stable.
+    At 100 TB the same plan holds: the only big shuffle is items by
+    orderkey; min-support pre-pruning of items (frequency < threshold)
+    bounds the pair space further, exactly as Apriori prescribes."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    # lazy 1-row corpus-size broadcast (same shape as text_tfidf_topterms),
+    # not an eager .count() — the plan stays fully declarative
+    n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pk1"), F.col("b.l_partkey").alias("pk2")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("pk1"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("l_partkey").alias("pk2"), F.col("c").alias("cb"))
+    out = (
+        pairs.join(F.broadcast(fa), "pk1")
+        .join(F.broadcast(fb), "pk2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pk1",
+            "pk2",
+            "c_ab",
+            (F.col("c_ab") / (F.lit(1.0) * F.col("n_orders"))).alias("support"),
+            (F.col("c_ab") / (F.lit(1.0) * F.col("ca"))).alias("confidence"),
+            (
+                (F.col("c_ab") * F.col("n_orders"))
+                / (F.lit(1.0) * F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# resample_interpolate_linear
+# ---------------------------------------------------------------------------
+
+_GRID_START_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00
+_GRID_END_US = 1_706_572_800_000_000    # 2024-01-30 00:00:00
+_GRID_STEP_US = 21_600_000_000          # 6 hours
+
+
+@query(
+    "resample_interpolate_linear",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, 0 AS kind, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+grid AS (
+  SELECT u.user_id, g.us, 1 AS kind, CAST(NULL AS BIGINT) AS event_id,
+         CAST(NULL AS BIGINT) AS v_c
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (
+    SELECT unnest(range({_GRID_START_US}, {_GRID_END_US} + 1,
+                        {_GRID_STEP_US})) AS us) g
+),
+m AS (
+  SELECT user_id, us, kind,
+         last_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS) OVER wp AS prev_us,
+         last_value(CASE WHEN kind = 0 THEN v_c END IGNORE NULLS) OVER wp AS prev_v,
+         first_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS) OVER wn AS next_us,
+         first_value(CASE WHEN kind = 0 THEN v_c END IGNORE NULLS) OVER wn AS next_v
+  FROM (SELECT user_id, us, kind, v_c FROM e
+        UNION ALL SELECT user_id, us, kind, v_c FROM grid)
+  WINDOW wp AS (PARTITION BY user_id ORDER BY us, kind
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY us, kind
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, us AS grid_us,
+       -- exact integer lerp numerator, ONE double division at the end:
+       -- a float a+b*c lerp is vulnerable to compiler FMA contraction
+       -- (differs between engines in the last ulp); the rational form has
+       -- a single rounding point. int128 -> double via VARCHAR (see
+       -- agg_corr_matrix).
+       CASE
+         WHEN prev_us IS NULL OR next_us IS NULL THEN NULL
+         ELSE CAST(CAST(CAST(prev_v AS HUGEINT) * (next_us - us)
+                        + CAST(next_v AS HUGEINT) * (us - prev_us)
+                        AS VARCHAR) AS DOUBLE)
+              / ((next_us - prev_us) * 100.0)
+       END AS value_interp
+FROM m
+WHERE kind = 1
+""",
+)
+def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of each user's value series onto a regular 6-h
+    grid — the sensor/metric resampling that win_forward_fill (LOCF) and
+    resample_time_bucket (OHLC) don't cover: the reconstructed LEVEL
+    between observations. NOT a range join: grid points union into the
+    event log and one forward + one backward running window recover the
+    bracketing observations — two keyed window passes on user_id, cost
+    independent of gap sizes (the same union trick as join_asof_tolerance,
+    applied in both directions). Grid instants outside the observed range
+    yield NULL (no extrapolation). The interpolation weight is the single
+    identical float expression over exact integer microsecond gaps and
+    cents — bit-stable."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_us("ts").alias("us"),
+        F.lit(0).alias("kind"),
+        scaled_long(F.col("value"), 100).alias("v_c"),
+    )
+    grid = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit(_GRID_START_US),
+                    F.lit(_GRID_END_US),
+                    F.lit(_GRID_STEP_US),
+                )
+            ).alias("us"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("v_c"),
+        )
+    )
+    u = e.unionByName(grid)
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_us = F.when(F.col("kind") == 0, F.col("us"))
+    obs_v = F.when(F.col("kind") == 0, F.col("v_c"))
+    m = u.select(
+        "user_id",
+        "us",
+        "kind",
+        F.last(obs_us, ignorenulls=True).over(wp).alias("prev_us"),
+        F.last(obs_v, ignorenulls=True).over(wp).alias("prev_v"),
+        F.first(obs_us, ignorenulls=True).over(wn).alias("next_us"),
+        F.first(obs_v, ignorenulls=True).over(wn).alias("next_v"),
+    )
+    # exact integer lerp numerator + ONE double division — a float a+b*c
+    # lerp differs between engines in the last ulp under compiler FMA
+    # contraction; the rational form has a single rounding point
+    dec = "decimal(38,0)"
+    num = F.col("prev_v").cast(dec) * (F.col("next_us") - F.col("us")) + F.col(
+        "next_v"
+    ).cast(dec) * (F.col("us") - F.col("prev_us"))
+    interp = num.cast("double") / (
+        (F.col("next_us") - F.col("prev_us")) * F.lit(100.0)
+    )
+    return m.filter(F.col("kind") == 1).select(
+        "user_id",
+        F.col("us").alias("grid_us"),
+        F.when(
+            F.col("prev_us").isNull() | F.col("next_us").isNull(), F.lit(None)
+        )
+        .otherwise(interp)
+        .alias("value_interp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_burst_detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_burst_detection",
+    oracle="""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+         COUNT(*) AS cnt
+  FROM events
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(cnt) AS sc,
+         SUM(CAST(cnt AS HUGEINT) * cnt) AS ssq
+  FROM b GROUP BY event_type
+)
+SELECT b.event_type, b.hour_bucket, b.cnt,
+       CAST(s.n * b.cnt - s.sc AS BIGINT) AS excess_n_scaled,
+       (s.n * b.cnt > s.sc
+        AND CAST(s.n * b.cnt - s.sc AS HUGEINT)
+            * CAST(s.n * b.cnt - s.sc AS HUGEINT) * (s.n - 1)
+            > 9 * s.n * (s.n * s.ssq - CAST(s.sc AS HUGEINT) * s.sc)) AS burst
+FROM b JOIN s ON b.event_type = s.event_type
+""",
+)
+def event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst detection: hourly event counts per type, flagged when a
+    bucket exceeds mean + 3σ of that type's bucket distribution. The whole
+    3σ test is INTEGER inequality algebra — cnt > μ+3σ rewritten as
+    (n·cnt − Σ)²·(n−1) > 9·n·(n·ΣΣ − Σ²) over int128 — so the flag can
+    never flip from float rounding, unlike anomaly_zscore's float sigma
+    (which is the value-domain sibling; this is the rate domain). Plan:
+    one bucketing agg (map-side combinable), one tiny per-type stats agg,
+    one broadcast join — the log shuffles once on (type, hour) at any
+    scale."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(epoch_us("ts") / F.lit(3_600_000_000)).alias("hour_bucket"),
+    )
+    b = e.groupBy("event_type", "hour_bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dec = "decimal(38,0)"
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sc"),
+        F.sum((F.col("cnt").cast(dec) * F.col("cnt")).cast(dec)).alias("ssq"),
+    )
+    j = b.join(F.broadcast(s), "event_type")
+    excess = F.col("n") * F.col("cnt") - F.col("sc")
+    lhs = excess.cast(dec) * excess.cast(dec) * (F.col("n") - 1).cast(dec)
+    rhs = (
+        F.lit(9).cast(dec)
+        * F.col("n").cast(dec)
+        * (F.col("n").cast(dec) * F.col("ssq") - F.col("sc").cast(dec) * F.col("sc"))
+    )
+    return j.select(
+        "event_type",
+        "hour_bucket",
+        "cnt",
+        excess.cast("long").alias("excess_n_scaled"),
+        ((excess > 0) & (lhs > rhs)).alias("burst"),
+    )

@@ -531,3 +531,109 @@ def test_seasonality_profile_consistency(spark, sf_dir):
         # deviations are centred: weighted sum over weekdays ≈ 0
         wsum = sum(r.deviation_from_mean * r.n_events for r in rs)
         assert abs(wsum) < 1e-6 * totals[et]
+
+
+# ---- round-3 batch 5 -------------------------------------------------------
+
+
+def test_market_basket_model(spark, sf_dir):
+    """Support/confidence/lift match a brute-force recount over baskets."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n_orders = len(baskets)
+    freq: Counter = Counter()
+    pair_c: Counter = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        freq.update(ps)
+        for i, p1 in enumerate(ps):
+            for p2 in ps[i + 1 :]:
+                pair_c[(p1, p2)] += 1
+    expected = {k: v for k, v in pair_c.items() if v >= 2}
+    rows = QUERIES["market_basket_pairs"](spark, sf_dir).collect()
+    assert {(r.pk1, r.pk2): r.c_ab for r in rows} == expected
+    for r in rows:
+        assert abs(r.support - r.c_ab / n_orders) < 1e-12
+        assert abs(r.confidence - r.c_ab / freq[r.pk1]) < 1e-12
+        assert (
+            abs(r.lift - r.c_ab * n_orders / (freq[r.pk1] * freq[r.pk2])) < 1e-9
+        )
+        assert r.pk1 < r.pk2
+
+
+def test_interpolation_model_and_bounds(spark, sf_dir):
+    """Interpolated values are convex combinations of the bracketing
+    observations; grid points at an exact observation reproduce it; points
+    outside the observed range are NULL."""
+    ev = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts),
+    )
+    series: dict[int, list[tuple[int, int]]] = {}
+    for r in ev:
+        us = int(r.ts.timestamp() * 1_000_000)
+        series.setdefault(r.user_id, []).append((us, int(r.value * 100 + 0.5)))
+    import bisect
+
+    rows = QUERIES["resample_interpolate_linear"](spark, sf_dir).collect()
+    assert rows
+    n_null = 0
+    for r in rows:
+        pts = series[r.user_id]
+        uss = [u for u, _ in pts]
+        if r.grid_us < uss[0] or r.grid_us > uss[-1]:
+            assert r.value_interp is None
+            n_null += 1
+            continue
+        i = bisect.bisect_right(uss, r.grid_us)
+        # prev = last obs with us <= grid (ties: the latest one)
+        pu, pv = pts[i - 1]
+        if pu == r.grid_us:
+            # grid at an exact observation time reproduces the LAST
+            # observation at that instant (sort order puts obs first)
+            nxt = pts[i] if i < len(pts) else None
+            if nxt is None:
+                assert r.value_interp is None
+                n_null += 1
+                continue
+            nu, nv = nxt
+            expect = (pv * (nu - pu) + nv * 0) / ((nu - pu) * 100.0)
+            assert abs(r.value_interp - expect) < 1e-9
+        else:
+            assert i < len(pts)
+            nu, nv = pts[i]
+            expect = (pv * (nu - r.grid_us) + nv * (r.grid_us - pu)) / (
+                (nu - pu) * 100.0
+            )
+            assert abs(r.value_interp - expect) < 1e-9
+            lo, hi = min(pv, nv) / 100.0, max(pv, nv) / 100.0
+            assert lo - 1e-9 <= r.value_interp <= hi + 1e-9
+    assert n_null < len(rows)  # interior points dominate
+
+
+def test_burst_detection_model(spark, sf_dir):
+    rows = QUERIES["event_burst_detection"](spark, sf_dir).collect()
+    assert rows
+    import math
+
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        cnts = [r.cnt for r in rs]
+        n = len(cnts)
+        mu = sum(cnts) / n
+        var = sum((c - mu) ** 2 for c in cnts) / (n - 1)
+        sd = math.sqrt(var)
+        for r in rs:
+            assert r.burst == (r.cnt > mu + 3 * sd), (et, r.hour_bucket)
+            assert r.excess_n_scaled == n * r.cnt - sum(cnts)
