@@ -365,8 +365,9 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     the long (col_name, stats) shape with stack — a pure projection. Doubles
     are profiled on exact cents so min/max render identically in both
     engines (double→string formatting is engine-specific; integers aren't).
-    At 100 TB the exact distincts become the cost center — the documented
-    scale swap is approx_count_distinct, which drops the expand entirely."""
+    At 100 TB the exact distincts become the cost center — the scale
+    swap -- implemented as profile_columns_approx below -- uses
+    approx_count_distinct, which drops the expand entirely."""
     c = table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
@@ -515,9 +516,9 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scaled value, event_id) — a total order, so duplicates and engine sort
     instability can't change the pick. Two partitioned window passes + two
     broadcast joins of the tiny per-type medians (|event types| rows); every
-    shuffle is keyed by event_type. At 100 TB swap the exact median for
-    percentile_approx and the plan loses the window sorts entirely — the
-    exact path here is the verification tier."""
+    shuffle is keyed by event_type. The 100 TB tier is implemented as
+    mad_summary_approx below (percentile_approx, no window sorts); this
+    exact path is the verification tier."""
     e = table(spark, sf_dir, "events").select(
         "event_type", "event_id", scaled_long(F.col("value"), 100).alias("v_c")
     )
@@ -744,8 +745,8 @@ def zorder_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (README.md:8 partitioning/cluster tuning). The Morton code is a pure
     bitwise projection (whole-stage codegen, no UDF) and the bucket comes
     from its fixed bit PREFIX, so the audit is one keyed aggregation — no
-    global sort; at 100 TB the same projection feeds a range-partitioned
-    writer instead of an ntile window, and the stats pass is the cheap
+    global sort; at 100 TB the same projection feeds the range-partitioned
+    writer implemented as write_zordered below, and the stats pass is the cheap
     column-statistics scan every writer already does."""
     raw = table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("xr"),
@@ -769,14 +770,7 @@ def zorder_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm("xr", "minx", "maxx").alias("x"),
         norm("yr", "miny", "maxy").alias("y"),
     )
-    z: Column = F.lit(0).cast("long")
-    for i in range(_Z_BITS):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    zdf = o.select("x", "y", z.alias("zcode"))
+    zdf = o.select("x", "y", morton_code(F.col("x"), F.col("y")).alias("zcode"))
     return zdf.groupBy(
         F.shiftright(F.col("zcode"), 2 * _Z_BITS - 4).alias("z_bucket")
     ).agg(
@@ -841,27 +835,9 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed as-of date (a run parameter in production — avoids a global
     max-date pass). At 100 TB the orders agg is the only big shuffle; the
     per-segment score windows run over the already-aggregated customer
-    dimension, and the documented scale swap is broadcast approx-quantile
-    cutoffs + a pure map compare."""
-    o = table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        epoch_us("o_orderdate").alias("us"),
-        scaled_long(F.col("o_totalprice"), 100).alias("price_c"),
-    )
-    c = table(spark, sf_dir, "customer").select(
-        "c_custkey", F.col("c_mktsegment").alias("segment")
-    )
-    u = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(F.col("o_custkey").alias("custkey"), "segment")
-        .agg(
-            F.floor(
-                (F.lit(_RFM_ASOF_US) - F.max("us")) / F.lit(86_400_000_000)
-            ).alias("r_days"),
-            F.count(F.lit(1)).alias("f_orders"),
-            (F.sum("price_c") / F.lit(100.0)).alias("m_total"),
-        )
-    )
+    dimension, and the scale swap -- implemented as rfm_score_by_cutoffs below --
+    scores against broadcast quantile cutoffs as a pure map."""
+    u = rfm_user_metrics(spark, sf_dir)
     wseg = Window.partitionBy("segment")
     s = u.select(
         "custkey",
@@ -1678,3 +1654,138 @@ def event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         excess.cast("long").alias("excess_n_scaled"),
         ((excess > 0) & (lhs > rhs)).alias("burst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-tier variants (the documented 100 TB swaps, implemented)
+# ---------------------------------------------------------------------------
+
+
+def profile_columns_approx(df: DataFrame, cols: list) -> DataFrame:
+    """The 100 TB tier of profile_columns: approx_count_distinct (HLL++,
+    one pass, NO expand operator) replaces the exact multi-column
+    COUNT(DISTINCT). Same long output shape; distinct counts are estimates
+    (rsd 5% default). Accuracy vs the exact profile is pinned in
+    tests/test_analytics_ops.py."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.approx_count_distinct(F.col(col)).alias(f"{col}__distinct"),
+            F.min(col).cast("string").alias(f"{col}__min"),
+            F.max(col).cast("string").alias(f"{col}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+def rfm_score_by_cutoffs(u: DataFrame, cutoffs: dict) -> DataFrame:
+    """The 100 TB tier of rfm_segmentation: score against BROADCAST
+    quantile cutoffs (from percentile_approx over a sample or reference
+    period) as a pure map — no per-segment rank windows at all, so scoring
+    10⁹ customers is a scan. `cutoffs` maps metric -> ascending 4-value
+    breakpoint list; for r_days lower is better, so its score is flipped.
+    Input: the (custkey, segment, r_days, f_orders, m_total) aggregate.
+    Agreement with the exact rank-based scores is pinned in tests."""
+
+    def score(col: str, breaks: list, flip: bool) -> Column:
+        s: Column = F.lit(1)
+        for b in breaks:
+            s = s + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+        return (F.lit(6) - s).alias(f"{col}_score") if flip else s
+
+    return u.select(
+        "custkey",
+        "segment",
+        "r_days",
+        "f_orders",
+        "m_total",
+        score("r_days", cutoffs["r_days"], flip=True).alias("r_score"),
+        score("f_orders", cutoffs["f_orders"], flip=False).alias("f_score"),
+        score("m_total", cutoffs["m_total"], flip=False).alias("m_score"),
+    )
+
+
+def rfm_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (custkey, segment, R, F, M) aggregate rfm_segmentation builds —
+    exposed so both scoring tiers consume the identical metrics."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        epoch_us("o_orderdate").alias("us"),
+        scaled_long(F.col("o_totalprice"), 100).alias("price_c"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_custkey").alias("custkey"), "segment")
+        .agg(
+            F.floor(
+                (F.lit(_RFM_ASOF_US) - F.max("us")) / F.lit(86_400_000_000)
+            ).alias("r_days"),
+            F.count(F.lit(1)).alias("f_orders"),
+            (F.sum("price_c") / F.lit(100.0)).alias("m_total"),
+        )
+    )
+
+
+def mad_summary_approx(e: DataFrame) -> DataFrame:
+    """The 100 TB tier of anomaly_mad: percentile_approx medians (t-digest,
+    single partial-aggregable pass, no window sorts). Input:
+    (event_type, event_id, v_c). Output matches anomaly_mad's shape with
+    approximate median/MAD; closeness to the exact tier is pinned in
+    tests."""
+    med = e.groupBy("event_type").agg(
+        F.percentile_approx("v_c", 0.5, 10000).alias("med_c")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v_c") - F.col("med_c")).alias("dev_c"), "med_c"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("med_c").alias("med_c"),
+        F.percentile_approx("dev_c", 0.5, 10000).alias("mad_c"),
+    )
+    return (
+        dev.drop("med_c")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("med_c") / F.lit(100.0)).alias("median_value"),
+            (F.min("mad_c") / F.lit(100.0)).alias("mad_value"),
+            F.sum(
+                F.when(F.col("dev_c") > 3 * F.col("mad_c"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def write_zordered(df: DataFrame, zcol: Column, path: str, n_files: int = 16):
+    """The production write path the Z-order audit feeds: range-partition
+    on the Morton code and write, so every output file covers a contiguous
+    Z-range and Parquet min/max stats prune on BOTH interleaved dimensions.
+    File-level envelope quality is pinned in tests."""
+    df.withColumn("zcode", zcol).repartitionByRange(
+        n_files, F.col("zcode")
+    ).write.mode("overwrite").parquet(path)
+
+
+def morton_code(x: Column, y: Column) -> Column:
+    """Public face of the audit's interleave: 16-bit Morton code column."""
+    z: Column = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z

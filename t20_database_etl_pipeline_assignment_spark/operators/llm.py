@@ -2477,8 +2477,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a prefix snippet (ids +2e6) probing the corpus. Candidates come ONLY
     from snippet×corpus inverted-index collisions (the incremental-dedup
     orientation — never corpus×corpus), so cost is O(batch + collisions);
-    the 100 TB scale path swaps the exact inverted index for the MinHash
-    band index with a one-sided (containment) estimator. Exact integer
+    the 100 TB scale
+    path -- implemented as containment_bottomk below -- swaps the exact
+    inverted index for a bottom-k shingle sketch probe. Exact integer
     shingle counts; the rounded ratio is a single identical double op.
 
     Reference parity: README.md:12 ("data integrity") dedup family
@@ -2510,4 +2511,53 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("c_raw", F.col("i") / (F.lit(1.0) * F.col("sz")))
     return j.filter(F.col("c_raw") >= 0.9).select(
         "snippet_id", "container_id", F.round("c_raw", 6).alias("containment")
+    )
+
+
+def containment_bottomk(
+    sh_probe: DataFrame, sh_corpus: DataFrame, k: int = 8
+) -> DataFrame:
+    """The 100 TB scale path for dedup_containment: a bottom-k shingle
+    sketch. Each probe doc is represented by its k smallest xxhash64
+    shingle values; only THOSE shingles join the corpus inverted index, so
+    per-probe fan-out is bounded by k × df(shingle) regardless of document
+    length. The hit fraction estimates containment (each sampled shingle
+    of A lands in B with probability ≈ |A∩B|/|A|), and recall for true
+    containment c over k samples is 1 − (1−c)^k — ≥ 1 − 1e-8 at c = 0.9,
+    k = 8. Returns (snippet_id, container_id, est_containment, k_used).
+    Exactness discipline: the estimate is an exact small-integer ratio.
+
+    Input relations: (doc_id, shingle); probe ids must be disjoint from
+    corpus ids. Tested for recall/estimate quality against the exact
+    operator in tests/test_analytics_ops.py."""
+    w = Window.partitionBy("doc_id").orderBy("h", "shingle")
+    sample = (
+        sh_probe.select(
+            "doc_id", "shingle", F.xxhash64(F.col("shingle"), F.lit(0)).alias("h")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    k_used = sample.groupBy("doc_id").agg(F.count(F.lit(1)).alias("k_used"))
+    hits = (
+        sample.alias("s")
+        .join(sh_corpus.alias("c"), F.col("s.shingle") == F.col("c.shingle"))
+        .groupBy(
+            F.col("s.doc_id").alias("snippet_id"),
+            F.col("c.doc_id").alias("container_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        hits.join(
+            k_used.withColumnRenamed("doc_id", "snippet_id"), "snippet_id"
+        )
+        .select(
+            "snippet_id",
+            "container_id",
+            (F.col("n_hit") / (F.lit(1.0) * F.col("k_used"))).alias(
+                "est_containment"
+            ),
+            "k_used",
+        )
     )

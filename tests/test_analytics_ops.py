@@ -637,3 +637,177 @@ def test_burst_detection_model(spark, sf_dir):
         for r in rs:
             assert r.burst == (r.cnt > mu + 3 * sd), (et, r.hour_bucket)
             assert r.excess_n_scaled == n * r.cnt - sum(cnts)
+
+
+# ---- scale-tier variants (the implemented 100 TB swaps) --------------------
+
+
+def test_profile_columns_approx_close_to_exact(spark, sf_dir):
+    from t20_database_etl_pipeline_assignment_spark.operators.analytics import (
+        profile_columns_approx,
+    )
+    from t20_database_etl_pipeline_assignment_spark.exprs import scaled_long as sl
+    from t20_database_etl_pipeline_assignment_spark.plans.lint import lint
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        sl(F.col("c_acctbal"), 100).alias("c_acctbal_cents"),
+    )
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal_cents", "c_mktsegment"]
+    approx = {
+        r.col_name: r for r in profile_columns_approx(cust, cols).collect()
+    }
+    exact = {r.col_name: r for r in QUERIES["profile_columns"](spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for name, e in exact.items():
+        a = approx[name]
+        assert a.n_rows == e.n_rows and a.n_nulls == e.n_nulls
+        assert a.min_val == e.min_val and a.max_val == e.max_val
+        # HLL++ rsd 5% default; allow 3x margin
+        assert abs(a.n_distinct - e.n_distinct) <= max(2, 0.15 * e.n_distinct)
+    # the scale property itself: no Expand operator in the approx plan
+    plan = profile_columns_approx(cust, cols)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = (
+        QUERIES["profile_columns"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan  # the cost the swap removes
+    assert lint(profile_columns_approx(cust, cols)) == []
+
+
+def test_rfm_cutoff_scores_agree_with_rank_scores(spark, sf_dir):
+    from t20_database_etl_pipeline_assignment_spark.operators.analytics import (
+        rfm_score_by_cutoffs,
+        rfm_user_metrics,
+    )
+
+    u = rfm_user_metrics(spark, sf_dir)
+    cutoffs = {}
+    for col in ["r_days", "f_orders", "m_total"]:
+        qs = u.agg(
+            F.percentile_approx(col, [0.2, 0.4, 0.6, 0.8], 10000).alias("q")
+        ).collect()[0].q
+        cutoffs[col] = list(qs)
+    mapped = {
+        r.custkey: r for r in rfm_score_by_cutoffs(u, cutoffs).collect()
+    }
+    exact = {r.custkey: r for r in QUERIES["rfm_segmentation"](spark, sf_dir).collect()}
+    assert set(mapped) == set(exact)
+    # global-quantile cutoff scores vs per-segment rank scores: must agree
+    # within 1 quintile for the vast majority (they differ only by segment
+    # skew and approx-quantile error)
+    for metric in ["r_score", "f_score", "m_score"]:
+        close = sum(
+            1
+            for k in exact
+            if abs(getattr(mapped[k], metric) - getattr(exact[k], metric)) <= 1
+        )
+        assert close >= 0.9 * len(exact), metric
+
+
+def test_mad_approx_close_to_exact(spark, sf_dir):
+    from t20_database_etl_pipeline_assignment_spark.operators.analytics import (
+        mad_summary_approx,
+    )
+    from t20_database_etl_pipeline_assignment_spark.exprs import epoch_us, scaled_long as sl
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table as tbl
+
+    e = tbl(spark, sf_dir, "events").select(
+        "event_type", "event_id", sl(F.col("value"), 100).alias("v_c")
+    )
+    approx = {r.event_type: r for r in mad_summary_approx(e).collect()}
+    exact = {r.event_type: r for r in QUERIES["anomaly_mad"](spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert ap.n == ex.n
+        assert abs(ap.median_value - ex.median_value) <= 0.05 * max(
+            1.0, ex.median_value
+        )
+        assert abs(ap.mad_value - ex.mad_value) <= 0.10 * max(1.0, ex.mad_value)
+        # percentile_approx with high accuracy on modest groups is exact ⇒
+        # outlier counts should be near-identical
+        assert abs(ap.n_outliers - ex.n_outliers) <= max(2, 0.02 * ex.n)
+
+
+def test_containment_bottomk_recall_and_estimate(spark, sf_dir):
+    from t20_database_etl_pipeline_assignment_spark.operators.llm import (
+        containment_bottomk,
+        shingles,
+    )
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table as tbl
+
+    d = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    k = F.greatest(F.lit(4), F.floor(F.size(toks) * 2 / 5).cast("int"))
+    snip = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, k)).alias("text"),
+    )
+    est = {
+        (r.snippet_id, r.container_id): r.est_containment
+        for r in containment_bottomk(shingles(snip), shingles(d), k=8).collect()
+    }
+    exact_pairs = {
+        (r.snippet_id, r.container_id): r.containment
+        for r in QUERIES["dedup_containment"](spark, sf_dir).collect()
+    }
+    # recall: every exact >=0.9 containment pair must be a sketch candidate
+    missing = [p for p in exact_pairs if p not in est]
+    assert not missing
+    # estimate quality on true full-containment pairs: all sampled
+    # shingles must hit, so the estimate is exactly 1.0
+    for p, c in exact_pairs.items():
+        if abs(c - 1.0) < 1e-9:
+            assert abs(est[p] - 1.0) < 1e-9
+
+
+def test_write_zordered_files_prune_both_dims(spark, sf_dir, tmp_path):
+    from t20_database_etl_pipeline_assignment_spark.operators.analytics import (
+        morton_code,
+        write_zordered,
+    )
+
+    # build normalized grid coordinates the same way the audit does
+    from t20_database_etl_pipeline_assignment_spark.exprs import epoch_us
+
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("xr"),
+        F.floor(epoch_us("o_orderdate") / F.lit(86_400_000_000)).alias("yr"),
+    )
+    stats = raw.agg(
+        F.min("xr").alias("minx"),
+        F.max("xr").alias("maxx"),
+        F.min("yr").alias("miny"),
+        F.max("yr").alias("maxy"),
+    )
+    j = raw.crossJoin(F.broadcast(stats)).selectExpr(
+        "((xr - minx) * 65535L) div greatest(maxx - minx, 1L) AS x",
+        "((yr - miny) * 65535L) div greatest(maxy - miny, 1L) AS y",
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(j, morton_code(F.col("x"), F.col("y")), path, n_files=16)
+    back = spark.read.parquet(path)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("wx"),
+            (F.max("y") - F.min("y")).alias("wy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 8
+    # each file's envelope must be far narrower than the 65536 domain in
+    # at least one dimension, and on average in both — that's what makes
+    # min/max stats prune point/range predicates on either column
+    avg_wx = sum(r.wx for r in per_file) / len(per_file)
+    avg_wy = sum(r.wy for r in per_file) / len(per_file)
+    assert avg_wx < 65536 * 0.6 and avg_wy < 65536 * 0.6
+    assert all(min(r.wx, r.wy) < 65536 * 0.51 for r in per_file)
