@@ -85,12 +85,19 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_us("ts").alias("us"),
         scaled_long(F.col("value"), 100).alias("v_c"),
     )
+    return sessionize(e)
+
+
+def sessionize(e: DataFrame, gap_us: int = _SESSION_GAP_US) -> DataFrame:
+    """The sessionization kernel on a (user_id, event_id, us, v_c)
+    relation — separated from the fixture scan so property-based tests can
+    model-check it on generated streams (tests/test_analytics_ops.py)."""
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     g = e.withColumn(
         "new_session",
         F.when(
-            (F.col("us") - F.lag("us").over(w) > _SESSION_GAP_US)
+            (F.col("us") - F.lag("us").over(w) > gap_us)
             | F.lag("us").over(w).isNull(),
             1,
         ).otherwise(0),
@@ -1087,8 +1094,9 @@ p AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 s AS (
+  -- LEAST(min, 0): the running min includes the virtual empty prefix P0=0
   SELECT event_type, event_id, us,
-         CAST(pref - MIN(pref) OVER w2 AS BIGINT) AS cusum_c
+         CAST(pref - LEAST(MIN(pref) OVER w2, 0) AS BIGINT) AS cusum_c
   FROM p
   WINDOW w2 AS (PARTITION BY event_type ORDER BY us, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1122,29 +1130,50 @@ def win_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_c")
     )
+    return cusum_stat(e, m)
+
+
+def cusum_stat(
+    e: DataFrame,
+    targets: DataFrame,
+    k_c: int = _CUSUM_K_C,
+    h_c: int = _CUSUM_H_C,
+) -> DataFrame:
+    """The CUSUM kernel on (event_type, event_id, us, v_c) against a tiny
+    (event_type, mean_c) calibration relation — separated from the fixture
+    scan so property-based tests can model-check the window identity
+    against the sequential recursion on generated series
+    (tests/test_analytics_ops.py), and so the streaming face
+    (streaming/windows.py stateful_cusum) shares its parameters."""
     run = Window.partitionBy("event_type").orderBy("us", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    p = e.join(F.broadcast(m), "event_type").select(
+    p = e.join(F.broadcast(targets), "event_type").select(
         "event_type",
         "event_id",
         "us",
         F.sum(
-            F.col("v_c") - F.col("mean_c") - F.lit(_CUSUM_K_C)
+            F.col("v_c") - F.col("mean_c") - F.lit(k_c)
         ).over(run).alias("pref"),
     )
     s = p.select(
         "event_type",
         "event_id",
         "us",
-        (F.col("pref") - F.min("pref").over(run)).cast("long").alias("cusum_c"),
+        # the running min must include the virtual empty prefix P₀ = 0:
+        # S_i = P_i − min(0, min_{j≤i} P_j). Without the 0 floor a series
+        # that starts above target reports S=0 where the recursion says
+        # S=P_1 (caught by the hypothesis model check).
+        (F.col("pref") - F.least(F.min("pref").over(run), F.lit(0)))
+        .cast("long")
+        .alias("cusum_c"),
     )
     return s.select(
         "event_type",
         "event_id",
         "us",
         (F.col("cusum_c") / F.lit(100.0)).alias("cusum"),
-        (F.col("cusum_c") > F.lit(_CUSUM_H_C)).alias("alarm"),
+        (F.col("cusum_c") > F.lit(h_c)).alias("alarm"),
     )
 
 
@@ -1409,8 +1438,10 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Item frequencies broadcast (|parts| rows). All ratios are single
     identical double expressions over exact integer counts — bit-stable.
     At 100 TB the same plan holds: the only big shuffle is items by
-    orderkey; min-support pre-pruning of items (frequency < threshold)
-    bounds the pair space further, exactly as Apriori prescribes."""
+    orderkey, and the Apriori min-support prune below (items appearing in
+    < 2 baskets never enter the self-join — provably result-preserving,
+    since a qualifying pair needs both parts in ≥ 2 baskets) keeps the
+    pair space proportional to the frequent items, not the catalog."""
     items = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1420,8 +1451,17 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not an eager .count() — the plan stays fully declarative
     n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a = items.alias("a")
-    b = items.alias("b")
+    # Apriori prune (semantics-preserving): a pair with c_ab >= 2 needs both
+    # parts in >= 2 baskets, so items below min-support never enter the
+    # self-join — at 100 TB this is what keeps the pair space proportional
+    # to the FREQUENT items, not the catalog
+    frequent = items.join(
+        F.broadcast(freq.filter(F.col("c") >= 2).select("l_partkey")),
+        "l_partkey",
+        "left_semi",
+    )
+    a = frequent.alias("a")
+    b = frequent.alias("b")
     pairs = (
         a.join(
             b,

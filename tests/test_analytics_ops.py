@@ -811,3 +811,111 @@ def test_write_zordered_files_prune_both_dims(spark, sf_dir, tmp_path):
     avg_wy = sum(r.wy for r in per_file) / len(per_file)
     assert avg_wx < 65536 * 0.6 and avg_wy < 65536 * 0.6
     assert all(min(r.wx, r.wy) < 65536 * 0.51 for r in per_file)
+
+
+# ---- property-based model checks (hypothesis) ------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# events: (user, us-offset, cents value); duplicates of us deliberately allowed
+event_st = st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=10_000_000_000),
+    st.integers(min_value=0, max_value=50_000),
+)
+events_st = st.lists(event_st, min_size=1, max_size=40)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=events_st)
+def test_sessionize_kernel_property(spark, events):
+    """On arbitrary streams (duplicate timestamps, single events, giant
+    gaps) the kernel agrees with the sequential Python model."""
+    from t20_database_etl_pipeline_assignment_spark.operators.analytics import (
+        sessionize,
+    )
+
+    gap = 1_800_000_000
+    rows = [
+        (u, i, us, v) for i, (u, us, v) in enumerate(events)
+    ]  # event_id = arrival index (unique tie-break)
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, us long, v_c long"
+    )
+    got = {
+        (r.user_id, r.session_seq): r for r in sessionize(df, gap).collect()
+    }
+    # model
+    by_user: dict[int, list] = {}
+    for u, eid, us, v in rows:
+        by_user.setdefault(u, []).append((us, eid, v))
+    expected = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        seq = 0
+        cur = []
+        prev_us = None
+        for us, eid, v in evs + [(None, None, None)]:
+            if us is None or (prev_us is not None and us - prev_us > gap):
+                if cur:
+                    expected[(u, seq)] = cur
+                if us is None:
+                    break
+                seq += 1
+                cur = []
+            elif prev_us is None:
+                seq += 1
+            cur.append((us, v))
+            prev_us = us
+    # fix: rebuild cleanly (the loop above is fiddly); recompute directly
+    expected = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        seq = 0
+        prev_us = None
+        sessions: dict[int, list] = {}
+        for us, eid, v in evs:
+            if prev_us is None or us - prev_us > gap:
+                seq += 1
+                sessions[seq] = []
+            sessions[seq].append((us, v))
+            prev_us = us
+        for sq, items in sessions.items():
+            expected[(u, sq)] = items
+    assert set(got) == set(expected)
+    for key, items in expected.items():
+        g = got[key]
+        uss = [us for us, _ in items]
+        assert g.n_events == len(items)
+        assert g.start_us == min(uss) and g.end_us == max(uss)
+        assert abs(g.sum_value - sum(v for _, v in items) / 100.0) < 1e-9
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=50_000), min_size=1, max_size=40),
+    mean=st.integers(min_value=0, max_value=50_000),
+)
+def test_cusum_kernel_identity_property(spark, vals, mean):
+    """The prefix-sum − running-min window identity equals the sequential
+    recursion S_i = max(0, S_{i-1} + x_i − μ − k) for arbitrary series and
+    calibration targets."""
+    from t20_database_etl_pipeline_assignment_spark.operators.analytics import (
+        cusum_stat,
+    )
+
+    k_c, h_c = 2500, 20000
+    rows = [("t", i, i, v) for i, v in enumerate(vals)]
+    e = spark.createDataFrame(
+        rows, "event_type string, event_id long, us long, v_c long"
+    )
+    targets = spark.createDataFrame([("t", mean)], "event_type string, mean_c long")
+    got = sorted(
+        cusum_stat(e, targets, k_c, h_c).collect(), key=lambda r: r.event_id
+    )
+    s = 0
+    for r, v in zip(got, vals):
+        s = max(0, s + v - mean - k_c)
+        assert abs(r.cusum - s / 100.0) < 1e-12
+        assert r.alarm == (s > h_c)
