@@ -1829,3 +1829,87 @@ def morton_code(x: Column, y: Column) -> Column:
             F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         )
     return z
+
+
+# ---------------------------------------------------------------------------
+# reorder_interval_percentiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "reorder_interval_percentiles",
+    oracle="""
+WITH o AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         epoch_us(o.o_orderdate) // 86400000000 AS day, o.o_orderkey
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT segment, o_custkey,
+         day - lag(day) OVER (PARTITION BY o_custkey
+                              ORDER BY day, o_orderkey) AS gap_days
+  FROM o
+),
+r AS (
+  SELECT segment, gap_days,
+         row_number() OVER (PARTITION BY segment ORDER BY gap_days) AS rn,
+         COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM g WHERE gap_days IS NOT NULL
+)
+SELECT segment,
+       CAST(MIN(n) AS BIGINT) AS n_gaps,
+       MIN(CASE WHEN rn = (n + 1) // 2 THEN gap_days END) AS p50_days,
+       MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_days END) AS p90_days
+FROM r
+GROUP BY segment
+""",
+)
+def reorder_interval_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution per market segment: exact
+    lower-median and lower-p90 of the day gaps between a customer's
+    consecutive orders — the repurchase-cadence metric behind churn and
+    replenishment models. Gaps come from one customer-keyed lag window;
+    the percentile selection is row_number over (gap, tie) per segment —
+    total order, so both engines pick the identical element (no
+    interpolation ambiguity). Two keyed window passes + one agg; at 100 TB
+    the per-segment selection swaps to percentile_approx exactly as in
+    mad_summary_approx (same t-digest tier)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.floor(epoch_us("o_orderdate") / F.lit(86_400_000_000)).alias("day"),
+        )
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "customer").select(
+                    F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    g = o.select(
+        "segment", (F.col("day") - F.lag("day").over(wc)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    ws = Window.partitionBy("segment")
+    r = g.select(
+        "segment",
+        "gap_days",
+        F.row_number().over(ws.orderBy("gap_days")).alias("rn"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    return r.groupBy("segment").agg(
+        F.min("n").cast("long").alias("n_gaps"),
+        F.min(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("gap_days"))
+        ).alias("p50_days"),
+        F.min(
+            F.when(
+                F.col("rn") == F.floor((9 * F.col("n") + 9) / 10),
+                F.col("gap_days"),
+            )
+        ).alias("p90_days"),
+    )

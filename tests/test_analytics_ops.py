@@ -854,25 +854,6 @@ def test_sessionize_kernel_property(spark, events):
     for u, evs in by_user.items():
         evs.sort()
         seq = 0
-        cur = []
-        prev_us = None
-        for us, eid, v in evs + [(None, None, None)]:
-            if us is None or (prev_us is not None and us - prev_us > gap):
-                if cur:
-                    expected[(u, seq)] = cur
-                if us is None:
-                    break
-                seq += 1
-                cur = []
-            elif prev_us is None:
-                seq += 1
-            cur.append((us, v))
-            prev_us = us
-    # fix: rebuild cleanly (the loop above is fiddly); recompute directly
-    expected = {}
-    for u, evs in by_user.items():
-        evs.sort()
-        seq = 0
         prev_us = None
         sessions: dict[int, list] = {}
         for us, eid, v in evs:
@@ -919,3 +900,36 @@ def test_cusum_kernel_identity_property(spark, vals, mean):
         s = max(0, s + v - mean - k_c)
         assert abs(r.cusum - s / 100.0) < 1e-12
         assert r.alarm == (s > h_c)
+
+
+def test_reorder_interval_model(spark, sf_dir):
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .collect()
+    )
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    by_cust: dict[int, list] = {}
+    for r in o:
+        day = int(r.o_orderdate.timestamp() * 1_000_000) // 86_400_000_000
+        by_cust.setdefault(r.o_custkey, []).append((day, r.o_orderkey))
+    gaps: dict[str, list[int]] = {}
+    for ck, orders in by_cust.items():
+        orders.sort()
+        for (d1, _), (d2, _) in zip(orders, orders[1:]):
+            gaps.setdefault(cust[ck], []).append(d2 - d1)
+    out = {
+        r.segment: r
+        for r in QUERIES["reorder_interval_percentiles"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(gaps)
+    for seg, gs in gaps.items():
+        gs.sort()
+        n = len(gs)
+        assert out[seg].n_gaps == n
+        assert out[seg].p50_days == gs[(n + 1) // 2 - 1]
+        assert out[seg].p90_days == gs[(9 * n + 9) // 10 - 1]
+        assert out[seg].p50_days <= out[seg].p90_days
