@@ -806,8 +806,11 @@ WITH o AS (
   FROM orders
 ),
 u AS (
+  -- GREATEST(…, 0): clamp post-as-of orders to recency 0. Also keeps the
+  -- division domain nonnegative, where DuckDB's truncating // and
+  -- Spark's flooring division agree.
   SELECT o.o_custkey AS custkey, c.c_mktsegment AS segment,
-         ({_RFM_ASOF_US} - MAX(o.us)) // 86400000000 AS r_days,
+         GREATEST({_RFM_ASOF_US} - MAX(o.us), 0) // 86400000000 AS r_days,
          COUNT(*) AS f_orders,
          (SUM(o.price_c) / 100.0) AS m_total
   FROM o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1770,7 +1773,8 @@ def rfm_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("custkey"), "segment")
         .agg(
             F.floor(
-                (F.lit(_RFM_ASOF_US) - F.max("us")) / F.lit(86_400_000_000)
+                F.greatest(F.lit(_RFM_ASOF_US) - F.max("us"), F.lit(0))
+                / F.lit(86_400_000_000)
             ).alias("r_days"),
             F.count(F.lit(1)).alias("f_orders"),
             (F.sum("price_c") / F.lit(100.0)).alias("m_total"),
