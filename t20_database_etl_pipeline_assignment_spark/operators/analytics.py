@@ -1917,3 +1917,94 @@ def reorder_interval_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p90_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_gini_inequality
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_gini_inequality",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS s_c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT segment, s_c,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY s_c, o_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM spend
+),
+a AS (
+  SELECT segment, MIN(n) AS n,
+         SUM(CAST(rn AS HUGEINT) * s_c) AS weighted,
+         SUM(s_c) AS total
+  FROM r GROUP BY segment
+)
+SELECT segment, CAST(n AS BIGINT) AS n_customers,
+       (total / 100.0) AS total_spend,
+       -- G = (2·Σ(i·x_i) − (n+1)·Σx) / (n·Σx) over ascending-sorted x;
+       -- int128 numerator, ONE double division (VARCHAR hop: see
+       -- agg_corr_matrix)
+       (CAST(CAST(2 * weighted - (n + 1) * CAST(total AS HUGEINT) AS VARCHAR)
+             AS DOUBLE)
+        / CAST(CAST(n * CAST(total AS HUGEINT) AS VARCHAR) AS DOUBLE)) AS gini
+FROM a
+""",
+)
+def agg_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime spend per market segment —
+    the revenue-concentration measure (0 = everyone spends equally,
+    →1 = one whale). Uses the exact rank formula
+    G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) over ascending-sorted spend:
+    one keyed window for ranks, one aggregation — no O(n²) pairwise
+    |xᵢ−xⱼ| double sum, which is the formulation that doesn't survive
+    scale. The rank-weighted sum accumulates in int128/decimal38 (rank ×
+    cents × customers overflows int64) and the coefficient is one double
+    division of exactly-converted integers — bit-stable. Ties in spend
+    break by custkey, giving both engines the identical rank assignment."""
+    spend = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", scaled_long(F.col("o_totalprice"), 100).alias("price_c")
+        )
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "customer").select(
+                    F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("segment", "o_custkey")
+        .agg(F.sum("price_c").alias("s_c"))
+    )
+    w = Window.partitionBy("segment")
+    r = spend.select(
+        "segment",
+        "s_c",
+        F.row_number().over(w.orderBy("s_c", "o_custkey")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    dec = "decimal(38,0)"
+    a = r.groupBy("segment").agg(
+        F.min("n").alias("n"),
+        F.sum((F.col("rn").cast(dec) * F.col("s_c")).cast(dec)).alias("weighted"),
+        F.sum("s_c").alias("total"),
+    )
+    num = (
+        F.lit(2).cast(dec) * F.col("weighted")
+        - (F.col("n") + 1).cast(dec) * F.col("total").cast(dec)
+    ).cast(dec)
+    den = (F.col("n").cast(dec) * F.col("total").cast(dec)).cast(dec)
+    return a.select(
+        "segment",
+        F.col("n").cast("long").alias("n_customers"),
+        (F.col("total") / F.lit(100.0)).alias("total_spend"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )

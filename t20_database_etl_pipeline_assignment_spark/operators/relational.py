@@ -736,3 +736,23 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend_cents"),
         )
     )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+SELECT c_nationkey FROM customer WHERE c_custkey % 2 = 0
+INTERSECT ALL
+SELECT c_nationkey FROM customer WHERE c_custkey % 3 = 0
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): per-value multiplicities take
+    the MINIMUM of the two sides — completes the bag-semantics set-op
+    family next to set_except_all. Spark plans the same partial-count +
+    single hash shuffle as the distinct variant; at scale the cost is one
+    exchange on the value, like any aggregation."""
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") % 2 == 0).select("c_nationkey")
+    b = c.filter(F.col("c_custkey") % 3 == 0).select("c_nationkey")
+    return a.intersectAll(b)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import ntz_epoch, scaled_long
+from ..exprs import epoch_us, ntz_epoch, scaled_long
 from ..registry import query
 from ..sources.tables import table
 
@@ -409,4 +409,104 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         F.sum("is_first").over(w_run).cast("long").alias("n_distinct_types_so_far"),
+    )
+
+
+@query(
+    "win_ratio_to_report",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       (price_c / (1.0 * SUM(price_c) OVER (PARTITION BY l_returnflag)))
+         AS share_of_flag
+FROM li
+""",
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each line item's share of its return flag's total
+    revenue — the classic reporting window (percent-of-total) via a
+    full-partition frame sum. Numerator and denominator are exact integer
+    cents, so the single division is bit-identical in both engines; the
+    plan is one keyed shuffle with no per-partition sort at all (no ORDER
+    BY in the window), which is the cheapest window shape there is."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        scaled_long(F.col("l_extendedprice"), 100).alias("price_c"),
+    )
+    w = Window.partitionBy("l_returnflag")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (F.col("price_c") / (F.lit(1.0) * F.sum("price_c").over(w))).alias(
+            "share_of_flag"
+        ),
+    )
+
+
+@query(
+    "win_activity_streaks",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+i AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM d
+),
+s AS (
+  SELECT user_id, island, COUNT(*) AS len,
+         MIN(day) AS start_day, MAX(day) AS end_day
+  FROM i GROUP BY user_id, island
+)
+SELECT user_id,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(MAX(end_day - start_day + 1) AS BIGINT) AS longest_span_check
+FROM s
+GROUP BY user_id
+""",
+)
+def win_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — the
+    gaps-and-islands idiom: for distinct active days, `day − row_number`
+    is constant exactly within a consecutive run, so one window pass +
+    one aggregation finds every streak with NO self-join and NO iteration
+    (the naive formulations are O(n²) or sequential). All three stages
+    key on user_id, so the log shuffles once; integer day arithmetic
+    keeps the island key exact. The redundant longest_span_check column
+    (= longest_streak by construction) is a built-in self-audit of the
+    island invariant."""
+    d = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(epoch_us("ts") / F.lit(86_400_000_000)).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    i = d.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(w)).alias("island")
+    )
+    s = i.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.max(F.col("end_day") - F.col("start_day") + 1)
+        .cast("long")
+        .alias("longest_span_check"),
     )

@@ -933,3 +933,78 @@ def test_reorder_interval_model(spark, sf_dir):
         assert out[seg].p50_days == gs[(n + 1) // 2 - 1]
         assert out[seg].p90_days == gs[(9 * n + 9) // 10 - 1]
         assert out[seg].p50_days <= out[seg].p90_days
+
+
+def test_intersect_all_multiset_model(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    a = Counter(r.c_nationkey for r in c if r.c_custkey % 2 == 0)
+    b = Counter(r.c_nationkey for r in c if r.c_custkey % 3 == 0)
+    expected = Counter({k: min(a[k], b[k]) for k in a if k in b})
+    expected = +expected
+    got = Counter(
+        r.c_nationkey for r in QUERIES["set_intersect_all"](spark, sf_dir).collect()
+    )
+    assert got == expected
+
+
+def test_ratio_to_report_sums_to_one(spark, sf_dir):
+    rows = QUERIES["win_ratio_to_report"](spark, sf_dir).collect()
+    by_flag: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 <= r.share_of_flag <= 1.0
+        by_flag[r.l_returnflag] = by_flag.get(r.l_returnflag, 0.0) + r.share_of_flag
+    for flag, total in by_flag.items():
+        assert abs(total - 1.0) < 1e-6, flag
+
+
+def test_activity_streaks_model(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts").collect()
+    days: dict[int, set] = {}
+    for r in ev:
+        days.setdefault(r.user_id, set()).add(
+            int(r.ts.timestamp() * 1_000_000) // 86_400_000_000
+        )
+    out = {r.user_id: r for r in QUERIES["win_activity_streaks"](spark, sf_dir).collect()}
+    assert set(out) == set(days)
+    for uid, ds in days.items():
+        sorted_days = sorted(ds)
+        streaks = []
+        cur = 1
+        for d1, d2 in zip(sorted_days, sorted_days[1:]):
+            if d2 == d1 + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        assert out[uid].n_streaks == len(streaks)
+        assert out[uid].longest_streak == max(streaks)
+        # island invariant: span == length within every island
+        assert out[uid].longest_span_check == out[uid].longest_streak
+
+
+def test_gini_inequality_model(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    spend: dict[tuple, int] = {}
+    for r in o:
+        key = (cust[r.o_custkey], r.o_custkey)
+        spend[key] = spend.get(key, 0) + int(r.o_totalprice * 100 + 0.5)
+    by_seg: dict[str, list] = {}
+    for (seg, ck), s in spend.items():
+        by_seg.setdefault(seg, []).append((s, ck))
+    out = {r.segment: r for r in QUERIES["agg_gini_inequality"](spark, sf_dir).collect()}
+    assert set(out) == set(by_seg)
+    for seg, xs in by_seg.items():
+        xs.sort()
+        n = len(xs)
+        total = sum(s for s, _ in xs)
+        weighted = sum((i + 1) * s for i, (s, _) in enumerate(xs))
+        gini = (2 * weighted - (n + 1) * total) / (n * total)
+        assert out[seg].n_customers == n
+        assert abs(out[seg].gini - gini) < 1e-12
+        assert 0.0 <= out[seg].gini < 1.0
+        assert abs(out[seg].total_spend - total / 100.0) < 1e-6
