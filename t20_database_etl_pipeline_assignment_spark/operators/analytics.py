@@ -3,8 +3,13 @@ README.md:10 "transform it using PySpark" / README.md:8 partitioning+cluster
 tuning): batch sessionization, EWMA smoothing, Pareto skylines, exact
 correlation matrices, column profiling, concentration scoring, MAD anomaly
 detection, weighted medians, event-path mining, a Z-order clustering audit,
-RFM segmentation, time-weighted averages, rolling medians, and a
-data-freshness monitor.
+RFM segmentation, time-weighted averages, rolling medians, a data-freshness
+monitor, CUSUM change-point detection, Bollinger bands, max drawdown,
+weekday seasonality, market-basket association rules, linear-interpolation
+resampling, integer-exact burst detection, reorder-interval percentiles,
+and the Gini spend-inequality coefficient — plus the implemented 100 TB
+scale tiers of the exact operators (profile_columns_approx,
+rfm_score_by_cutoffs, mad_summary_approx, write_zordered).
 
 Scale design (100 TB):
 - Every windowed operator partitions by a real key (user_id, brand,
@@ -26,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import epoch_us, scaled_long, sql_scaled_long, sql_spark_epoch_us
+from ..exprs import epoch_us, scaled_long, sql_scaled_long
 from ..registry import query
 from ..sources.tables import table
 
