@@ -1521,7 +1521,7 @@ WITH e AS (
   FROM events
 ),
 grid AS (
-  SELECT u.user_id, g.us, 1 AS kind, CAST(NULL AS BIGINT) AS event_id,
+  SELECT u.user_id, g.us, 1 AS kind, CAST(-1 AS BIGINT) AS event_id,
          CAST(NULL AS BIGINT) AS v_c
   FROM (SELECT DISTINCT user_id FROM events) u
   CROSS JOIN (
@@ -1534,11 +1534,11 @@ m AS (
          last_value(CASE WHEN kind = 0 THEN v_c END IGNORE NULLS) OVER wp AS prev_v,
          first_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS) OVER wn AS next_us,
          first_value(CASE WHEN kind = 0 THEN v_c END IGNORE NULLS) OVER wn AS next_v
-  FROM (SELECT user_id, us, kind, v_c FROM e
-        UNION ALL SELECT user_id, us, kind, v_c FROM grid)
-  WINDOW wp AS (PARTITION BY user_id ORDER BY us, kind
+  FROM (SELECT user_id, us, kind, event_id, v_c FROM e
+        UNION ALL SELECT user_id, us, kind, event_id, v_c FROM grid)
+  WINDOW wp AS (PARTITION BY user_id ORDER BY us, kind, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         wn AS (PARTITION BY user_id ORDER BY us, kind
+         wn AS (PARTITION BY user_id ORDER BY us, kind, event_id
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT user_id, us AS grid_us,
@@ -1574,6 +1574,7 @@ def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         epoch_us("ts").alias("us"),
         F.lit(0).alias("kind"),
+        "event_id",
         scaled_long(F.col("value"), 100).alias("v_c"),
     )
     grid = (
@@ -1590,18 +1591,21 @@ def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("us"),
             F.lit(1).alias("kind"),
+            F.lit(-1).cast("long").alias("event_id"),
             F.lit(None).cast("long").alias("v_c"),
         )
     )
     u = e.unionByName(grid)
+    # event_id in the ordering: two events of one user at the SAME
+    # microsecond would otherwise make prev/next engine-nondeterministic
     wp = (
         Window.partitionBy("user_id")
-        .orderBy("us", "kind")
+        .orderBy("us", "kind", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("us", "kind")
+        .orderBy("us", "kind", "event_id")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     obs_us = F.when(F.col("kind") == 0, F.col("us"))

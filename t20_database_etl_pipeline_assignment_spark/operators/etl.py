@@ -30,6 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exprs import epoch_us
 from ..registry import query
 from ..sources.tables import table
 
@@ -858,11 +859,7 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "segment",
             "o_totalprice",
-            F.timestamp_diff(
-                "MICROSECOND",
-                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-                F.col("o_orderdate"),
-            ).alias("order_us"),
+            epoch_us("o_orderdate").alias("order_us"),
         )
 
     delta = (

@@ -80,6 +80,8 @@ def _decode_ppm_p6(data: bytes):
     # then exactly ONE whitespace byte before the raster
     pos, vals = 2, []
     while len(vals) < 3:
+        if pos >= len(data):  # truncated header: b'' is not .isspace(),
+            raise ValueError("truncated PPM header")  # so guard or spin
         c = data[pos : pos + 1]
         if c == b"#":
             pos = data.index(b"\n", pos) + 1
@@ -87,8 +89,10 @@ def _decode_ppm_p6(data: bytes):
             pos += 1
         else:
             j = pos
-            while not data[j : j + 1].isspace():
+            while j < len(data) and not data[j : j + 1].isspace():
                 j += 1
+            if j == len(data):
+                raise ValueError("truncated PPM header")
             vals.append(int(data[pos:j]))
             pos = j
     pos += 1
@@ -137,7 +141,10 @@ def sample_video_frames(payload: bytes, every_n: int = 30):
             chroma = tok[1:]
     if not w or not h:
         raise ValueError("y4m header missing W/H")
-    chroma_bytes = {"420": w * h // 2, "422": w * h, "444": w * h * 2}[chroma[:3]]
+    chroma_sizes = {"420": w * h // 2, "422": w * h, "444": w * h * 2}
+    if chroma[:3] not in chroma_sizes:
+        raise ValueError(f"unsupported y4m chroma sampling C{chroma}")
+    chroma_bytes = chroma_sizes[chroma[:3]]
     frame_size = w * h + chroma_bytes
     frames, pos, idx = [], nl + 1, 0
     while pos < len(payload):

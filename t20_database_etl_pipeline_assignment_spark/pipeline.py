@@ -107,13 +107,44 @@ def _scd2_rewrite_bands(
         if not os.path.exists(src):  # defensive: changed band always has rows
             continue
         dst = os.path.join(dim_path, f"_band={b}")
-        old = dst + ".old"
+        # survivor name carries NO '=': Spark's partition discovery treats
+        # an underscore dir containing '=' as a data path, so '_band=3.old'
+        # would surface as a bogus string partition value; '_oldband.3'
+        # stays hidden even if a crash strands it
+        old = os.path.join(dim_path, f"_oldband.{b}")
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(dst):
             os.rename(dst, old)
         os.rename(src, dst)
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def recover_band_swaps(dim_path: str) -> None:
+    """Heal the per-band swap crash windows before the dimension is read:
+    a stranded '_oldband.N' survivor is restored when its live band is
+    missing (crash between the two renames) and discarded when the live
+    band exists (crash before cleanup). Legacy '_band=N.old' survivors
+    from the pre-hidden naming are healed the same way. Idempotent; called
+    at the top of every nightly run."""
+    if not os.path.isdir(dim_path):
+        return
+    import shutil
+
+    for name in os.listdir(dim_path):
+        band = None
+        if name.startswith("_oldband."):
+            band = name[len("_oldband."):]
+        elif name.startswith("_band=") and name.endswith(".old"):
+            band = name[len("_band="):-len(".old")]
+        if band is None:
+            continue
+        old = os.path.join(dim_path, name)
+        live = os.path.join(dim_path, f"_band={band}")
+        if os.path.exists(live):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, live)
 
 
 @contextmanager
@@ -189,6 +220,7 @@ def run_etl(
     with _stage("conform_scd2", metrics):
         keys, attrs = ["c_custkey"], ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
         dim_path = f"{target_dir}/dim_customer"
+        recover_band_swaps(dim_path)  # heal any torn swap from a crashed run
         if not os.path.exists(dim_path):
             # first run: initialize open-ended history, band-partitioned
             # (applying the first snapshot to its own init is a no-op)

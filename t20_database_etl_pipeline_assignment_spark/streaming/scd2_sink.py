@@ -28,6 +28,16 @@ registered `stream_scd2_sink` query IS that one-pass formulation
 hash-checks the semantics in batch while tests/test_streaming.py proves
 the streaming path (crash + restart included) converges to the same rows.
 
+A day SPLIT ACROSS micro-batches still converges to the spec: each publish
+carries a `_snaphead/` sidecar with the head day's per-key latest
+(ts, tiebreak), so when a later batch brings more rows for the same day the
+fold recomputes the true per-(key, day) argmax across batches, rolls the
+head day back (drop its versions, reopen rows closed at it), and re-applies
+— arrival order can never beat event-time order, and no zero-length
+versions are emitted. Event-time DAY regression across batches (a batch
+whose earliest day precedes the folded head) violates the fold's watermark
+assumption and raises — that case belongs to scd2_rebuild_from_log.
+
 Scale: per micro-batch the only shuffles are the snapshot row_number and
 the scd2_apply key join; the dimension rewrite is bounded by dimension
 size, not stream history (the partition-pruned band rewrite in
@@ -68,14 +78,22 @@ def recover_dim(dim_path: str) -> None:
         os.rename(old, dim_path)
 
 
-def atomic_swap_publish(df: DataFrame, dim_path: str, state: dict) -> None:
-    """Write `df` + state marker to a temp dir, then swap it live with two
-    renames (same discipline as pipeline._overwrite_in_place, plus the
-    marker travels INSIDE the published dir so dimension and batch_id are
-    one atomic unit)."""
+_SNAP_DIR = "_snaphead"  # leading "_": hidden from Spark's parquet reader
+
+
+def atomic_swap_publish(
+    df: DataFrame, dim_path: str, state: dict, snap: DataFrame | None = None
+) -> None:
+    """Write `df` + state marker (+ the head-day snapshot sidecar) to a
+    temp dir, then swap it live with two renames (same discipline as
+    pipeline._overwrite_in_place, plus the marker travels INSIDE the
+    published dir so dimension, sidecar, and batch_id are one atomic
+    unit)."""
     tmp, old = dim_path + ".tmp-swap", dim_path + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
+    if snap is not None:
+        snap.write.mode("overwrite").parquet(os.path.join(tmp, _SNAP_DIR))
     with open(os.path.join(tmp, _STATE_FILE), "w") as f:
         json.dump(state, f)
     shutil.rmtree(old, ignore_errors=True)
@@ -103,23 +121,71 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id"):
         ]  # bounded: distinct event-days inside ONE micro-batch
         if not days:
             return
+        last_day = st.get("last_day") if st is not None else None
+        if last_day is not None and str(days[0]) < last_day:
+            # event-time regression across micro-batches: the day-ordered
+            # fold contract is non-decreasing days (the watermark
+            # assumption). Late days need scd2_rebuild_from_log — fail
+            # loudly rather than silently mis-folding.
+            raise ValueError(
+                f"scd2 stream sink: batch {batch_id} contains day "
+                f"{days[0]} older than the folded head {last_day}"
+            )
         target = spark.read.parquet(dim_path) if st is not None else None
         w = Window.partitionBy(*keys).orderBy(F.desc(ts_col), F.desc(tiebreak))
+        snap_rows = None
         for d in days:  # in order: each day is one SCD2 batch
-            staged = (
-                batch_df.filter(day == F.lit(d))
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select(*keys, *attrs)
-            )
             bts = str(d)
+            day_rows = batch_df.filter(day == F.lit(d)).select(
+                *keys, *attrs, ts_col, tiebreak
+            )
+            if last_day is not None and bts == last_day:
+                # HEAD-DAY RE-FOLD (a day split across micro-batches): the
+                # published head snapshot sidecar carries each key's
+                # day-d latest (ts, tiebreak), so the true per-(key, day)
+                # argmax is recomputed across batches — then day d's fold
+                # is rolled back (drop from==d versions, reopen rows
+                # closed at d) and re-applied. Without this, a later
+                # batch's row for an already-folded day would emit
+                # zero-length versions and let arrival order beat
+                # event-time order.
+                prev_snap = spark.read.parquet(os.path.join(dim_path, _SNAP_DIR))
+                day_rows = day_rows.unionByName(prev_snap)
+                d_lit = F.lit(bts).cast("timestamp")
+                reopened = target.filter(
+                    F.col("effective_from") != d_lit
+                ).withColumn(
+                    "is_current",
+                    F.when(F.col("effective_to") == d_lit, F.lit(True)).otherwise(
+                        F.col("is_current")
+                    ),
+                ).withColumn(
+                    "effective_to",
+                    F.when(
+                        F.col("effective_to") == d_lit,
+                        F.lit(_FAR_FUTURE).cast("timestamp"),
+                    ).otherwise(F.col("effective_to")),
+                )
+                target = reopened
+            snap_rows = (
+                day_rows.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(*keys, *attrs, ts_col, tiebreak)
+                .localCheckpoint()
+            )
+            staged = snap_rows.select(*keys, *attrs)
             if target is None:
                 target = scd2_init(staged, batch_ts=bts)
             else:
                 target = scd2_apply(
                     target, staged, keys=keys, attrs=attrs, batch_ts=bts
                 ).localCheckpoint()
-        atomic_swap_publish(target, dim_path, {"batch_id": batch_id})
+        atomic_swap_publish(
+            target,
+            dim_path,
+            {"batch_id": batch_id, "last_day": str(days[-1])},
+            snap=snap_rows,
+        )
         fold.applied.append(batch_id)
 
     fold.applied, fold.skipped = [], []

@@ -504,6 +504,14 @@ def make_cusum_fn(targets_c: dict, k_c: int = 2500, h_c: int = 20000):
         import numpy as np
         import pandas as pd
 
+        if key[0] not in targets_c:
+            # an uncalibrated event type must not kill the whole streaming
+            # query with a KeyError — it simply isn't monitored until a
+            # calibration target ships (control-chart practice: no target,
+            # no chart). Drain the iterator and emit nothing.
+            for _ in pdfs:
+                pass
+            return
         s_c, n, max_c, alarms = state.get if state.exists else (0, 0, 0, 0)
         mu = targets_c[key[0]]
         frames = [pdf for pdf in pdfs]

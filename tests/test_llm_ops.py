@@ -429,3 +429,27 @@ def test_span_kernel_agrees_with_model(spark, corpus):
         for r in span_dup_stats(docs, n=n).collect()
     }
     assert got == _span_model(corpus, n)
+
+
+def test_decoders_reject_malformed_inputs_without_hanging():
+    """Truncated or malformed payloads must raise ValueError promptly —
+    a past bug spun forever on a header cut before maxval (b'' is not
+    .isspace()), which inside mapInPandas is a one-byte denial of
+    service."""
+    import pytest as _pytest
+
+    from t20_database_etl_pipeline_assignment_spark.operators.multimodal import (
+        decode_image,
+        sample_video_frames,
+    )
+
+    for bad in [b"P6 3 2", b"P6", b"P6 3", b"P6 3 2 ", b"P6#comment"]:
+        with _pytest.raises(ValueError):
+            decode_image(bad)
+    # unsupported chroma taggings surface as the documented ValueError,
+    # not an opaque KeyError
+    head = b"YUV4MPEG2 W4 H4 Cmono\n"
+    with _pytest.raises(ValueError, match="chroma"):
+        sample_video_frames(head + b"FRAME\n" + bytes(16))
+    with _pytest.raises(ValueError, match="chroma"):
+        sample_video_frames(b"YUV4MPEG2 W4 H4 C411\nFRAME\n" + bytes(24))

@@ -142,3 +142,39 @@ def test_scd2_band_rewrite_is_partition_pruned(spark, sf_dir, target_dir, tmp_pa
     )
     assert per_key.filter(F.col("n_cur") != 1).count() == 0
     shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_band_swap_recovery_both_crash_windows(spark, tmp_path):
+    """recover_band_swaps heals both torn states a crash can leave: a
+    stranded survivor with the live band missing (restore) and a survivor
+    next to a completed swap (discard). Partition discovery afterwards
+    sees exactly the original integer bands — no '3.old' string values,
+    no duplicated rows."""
+    import os
+    import shutil
+
+    from t20_database_etl_pipeline_assignment_spark.pipeline import (
+        recover_band_swaps,
+    )
+
+    dim = str(tmp_path / "dim")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 4) for i in range(20)], "k long, v string, _band int"
+    )
+    df.write.mode("overwrite").partitionBy("_band").parquet(dim)
+    baseline = sorted(
+        tuple(r) for r in spark.read.parquet(dim).select("k", "v", "_band").collect()
+    )
+
+    # crash window 1: band renamed away, replacement never arrived
+    os.rename(os.path.join(dim, "_band=1"), os.path.join(dim, "_oldband.1"))
+    # crash window 2 (legacy naming): swap completed but cleanup didn't run
+    shutil.copytree(os.path.join(dim, "_band=2"), os.path.join(dim, "_band=2.old"))
+
+    recover_band_swaps(dim)
+    assert not os.path.exists(os.path.join(dim, "_oldband.1"))
+    assert not os.path.exists(os.path.join(dim, "_band=2.old"))
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(dim).select("k", "v", "_band").collect()
+    )
+    assert got == baseline

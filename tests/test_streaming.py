@@ -497,3 +497,103 @@ def test_stateful_cusum_parity(spark, sf_dir):
         assert abs(g.final_cusum - rows[-1].cusum) < 1e-9
         assert abs(g.max_cusum - max(r.cusum for r in rows)) < 1e-9
         assert g.n_alarms == sum(1 for r in rows if r.alarm)
+
+
+def test_scd2_sink_split_day_across_batches(spark, tmp_path):
+    """A single event-day split across micro-batches must converge to the
+    day-fold spec even when arrival order opposes event-time order: the
+    second batch carries an EARLIER-ts row with a different value, which
+    must NOT override the first batch's later-ts snapshot, and no
+    zero-length (from == to) version may be emitted."""
+    import datetime as dt
+
+    from t20_database_etl_pipeline_assignment_spark.streaming.scd2_sink import (
+        scd2_daily_fold_spec,
+        scd2_stream_sink,
+    )
+
+    d1 = dt.datetime(2024, 1, 1)
+    d2 = dt.datetime(2024, 1, 2)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    # day 1, batch A: u1 has rows at 10:00 (v=1.0) and 14:00 (v=2.0)
+    batch_a = spark.createDataFrame(
+        [
+            (1, d1 + dt.timedelta(hours=10), 1, "view", 1.0),
+            (2, d1 + dt.timedelta(hours=14), 1, "view", 2.0),
+        ],
+        schema,
+    )
+    # day 1, batch B (same day, later arrival): EARLIER ts, different value
+    batch_b = spark.createDataFrame(
+        [(3, d1 + dt.timedelta(hours=12), 1, "click", 9.0)], schema
+    )
+    # day 2, batch C: a real change
+    batch_c = spark.createDataFrame(
+        [(4, d2 + dt.timedelta(hours=1), 1, "purchase", 5.0)], schema
+    )
+    dim = str(tmp_path / "dim_split")
+    sink = scd2_stream_sink(dim, ["user_id"], ["event_type", "value"])
+    for i, b in enumerate([batch_a, batch_b, batch_c]):
+        sink(b, i)
+
+    got = sorted(
+        spark.read.parquet(dim).select(
+            "user_id", "event_type", "value",
+            "effective_from", "effective_to", "is_current",
+        ).collect(),
+        key=lambda r: (r.user_id, r.effective_from),
+    )
+    all_events = batch_a.unionByName(batch_b).unionByName(batch_c)
+    want = sorted(
+        scd2_daily_fold_spec(all_events)
+        .withColumn("effective_from", F.col("effective_from").cast("timestamp"))
+        .withColumn("effective_to", F.col("effective_to").cast("timestamp"))
+        .collect(),
+        key=lambda r: (r.user_id, r.effective_from),
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # explicitly: day-1 snapshot is the 14:00 view row, not the later-
+    # arriving 12:00 click; and no zero-length version exists
+    assert got[0].event_type == "view" and got[0].value == 2.0
+    assert all(r.effective_from < r.effective_to for r in got)
+
+
+def test_scd2_sink_rejects_day_regression(spark, tmp_path):
+    """A batch whose earliest day precedes the folded head violates the
+    non-decreasing-day contract and must fail loudly."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from t20_database_etl_pipeline_assignment_spark.streaming.scd2_sink import (
+        scd2_stream_sink,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    day2 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 1), 1, "view", 1.0)], schema
+    )
+    day1_late = spark.createDataFrame(
+        [(2, dt.datetime(2024, 1, 1, 1), 1, "view", 7.0)], schema
+    )
+    dim = str(tmp_path / "dim_reg")
+    sink = scd2_stream_sink(dim, ["user_id"], ["event_type", "value"])
+    sink(day2, 0)
+    with _pytest.raises(ValueError, match="older than the folded head"):
+        sink(day1_late, 1)
+
+
+def test_stateful_cusum_ignores_uncalibrated_types(spark, sf_dir):
+    """An event type with no calibration target must be silently skipped
+    (not monitored), never a KeyError that kills the streaming query."""
+    from t20_database_etl_pipeline_assignment_spark.streaming.windows import (
+        stateful_cusum,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    targets = {"click": 1000}  # every other type is uncalibrated
+    out = run_available_now(
+        stateful_cusum(stream, targets), "t20_cusum_uncal", output_mode="update"
+    ).collect()
+    assert {r.event_type for r in out} == {"click"}
+    assert all(r.n_events > 0 for r in out)
