@@ -84,7 +84,10 @@ def _decode_ppm_p6(data: bytes):
             raise ValueError("truncated PPM header")  # so guard or spin
         c = data[pos : pos + 1]
         if c == b"#":
-            pos = data.index(b"\n", pos) + 1
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM header")
+            pos = nl + 1
         elif c.isspace():
             pos += 1
         else:

@@ -171,8 +171,13 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id"):
                 day_rows.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .select(*keys, *attrs, ts_col, tiebreak)
-                .localCheckpoint()
             )
+            if bts == last_day or d == days[-1]:
+                # eager-materialize only where the snapshot is reused:
+                # the refold day (read twice: rollback + staged) and the
+                # final day (published as the sidecar); intermediate days
+                # are consumed once by scd2_apply, which checkpoints
+                snap_rows = snap_rows.localCheckpoint()
             staged = snap_rows.select(*keys, *attrs)
             if target is None:
                 target = scd2_init(staged, batch_ts=bts)

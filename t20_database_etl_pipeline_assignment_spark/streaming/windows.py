@@ -551,6 +551,13 @@ def stateful_cusum(stream: DataFrame, targets_c: dict) -> DataFrame:
         "event_id",
         F.unix_micros(F.col("ts")).alias("us"),
         "value",
+    ).filter(
+        # drop uncalibrated types BEFORE the shuffle — they would only be
+        # drained inside the kernel; the in-kernel guard stays as the
+        # belt for a target map that changes between plan and execution
+        F.col("event_type").isin(*targets_c.keys())
+        if targets_c
+        else F.lit(False)
     )
     return prepared.groupBy("event_type").applyInPandasWithState(
         make_cusum_fn(targets_c),
