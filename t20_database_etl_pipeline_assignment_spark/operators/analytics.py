@@ -2017,3 +2017,70 @@ def agg_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total") / F.lit(100.0)).alias("total_spend"),
         (num.cast("double") / den.cast("double")).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_concentration_ratio
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_concentration_ratio",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS s_c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT segment, s_c,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY s_c DESC, o_custkey) AS rn
+  FROM spend
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       (SUM(CASE WHEN rn <= 10 THEN s_c ELSE 0 END)
+        / (1.0 * SUM(s_c))) AS cr10,
+       (SUM(CASE WHEN rn <= 1 THEN s_c ELSE 0 END)
+        / (1.0 * SUM(s_c))) AS cr1
+FROM r
+GROUP BY segment
+""",
+)
+def agg_concentration_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration ratios CR₁/CR₁₀ per market segment: the revenue share
+    of the single biggest and the ten biggest customers — the whale metric
+    that complements agg_gini_inequality (Gini summarizes the whole curve;
+    CR-k answers "how exposed are we to the top"). One rank window per
+    segment over the per-customer spend aggregate, then conditional
+    integer sums and a single double division — bit-stable; ties in spend
+    break on custkey so the top-k cut is identical in both engines. The
+    windows run over the aggregated customer dimension, and at 100 TB the
+    orders→spend agg is the only large shuffle (same input as RFM/Gini —
+    one staged spend table serves all three in production)."""
+    spend = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", scaled_long(F.col("o_totalprice"), 100).alias("price_c")
+        )
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "customer").select(
+                    F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("segment", "o_custkey")
+        .agg(F.sum("price_c").alias("s_c"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("s_c"), "o_custkey")
+    r = spend.select("segment", "s_c", F.row_number().over(w).alias("rn"))
+    top = lambda k: F.sum(F.when(F.col("rn") <= k, F.col("s_c")).otherwise(0))
+    return r.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (top(10) / (F.lit(1.0) * F.sum("s_c"))).alias("cr10"),
+        (top(1) / (F.lit(1.0) * F.sum("s_c"))).alias("cr1"),
+    )

@@ -1008,3 +1008,31 @@ def test_gini_inequality_model(spark, sf_dir):
         assert abs(out[seg].gini - gini) < 1e-12
         assert 0.0 <= out[seg].gini < 1.0
         assert abs(out[seg].total_spend - total / 100.0) < 1e-6
+
+
+def test_concentration_ratio_model(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    spend: dict[tuple, int] = {}
+    for r in o:
+        key = (cust[r.o_custkey], r.o_custkey)
+        spend[key] = spend.get(key, 0) + int(r.o_totalprice * 100 + 0.5)
+    by_seg: dict[str, list] = {}
+    for (seg, ck), s in spend.items():
+        by_seg.setdefault(seg, []).append((s, ck))
+    out = {
+        r.segment: r
+        for r in QUERIES["agg_concentration_ratio"](spark, sf_dir).collect()
+    }
+    for seg, xs in by_seg.items():
+        xs.sort(key=lambda t: (-t[0], t[1]))
+        total = sum(s for s, _ in xs)
+        cr10 = sum(s for s, _ in xs[:10]) / total
+        cr1 = xs[0][0] / total
+        assert out[seg].n_customers == len(xs)
+        assert abs(out[seg].cr10 - cr10) < 1e-12
+        assert abs(out[seg].cr1 - cr1) < 1e-12
+        assert 0.0 < out[seg].cr1 <= out[seg].cr10 <= 1.0
