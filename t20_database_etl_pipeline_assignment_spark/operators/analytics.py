@@ -869,9 +869,9 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def score(rank: str) -> Column:
-        return (
-            F.lit(5) - F.floor((F.col(rank) - 1) * 5 / F.col("n"))
-        ).cast("long")
+        # integer `div`, not double `/`+floor: bit-exact at any n (the
+        # double path can mis-floor near representability boundaries)
+        return (F.lit(5) - F.expr(f"(({rank} - 1) * 5) div n")).cast("long")
 
     return s.select(
         "custkey",
@@ -1917,11 +1917,11 @@ def reorder_interval_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("segment").agg(
         F.min("n").cast("long").alias("n_gaps"),
         F.min(
-            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("gap_days"))
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_days"))
         ).alias("p50_days"),
         F.min(
             F.when(
-                F.col("rn") == F.floor((9 * F.col("n") + 9) / 10),
+                F.col("rn") == F.expr("(9 * n + 9) div 10"),
                 F.col("gap_days"),
             )
         ).alias("p90_days"),

@@ -129,8 +129,6 @@ def recover_band_swaps(dim_path: str) -> None:
     at the top of every nightly run."""
     if not os.path.isdir(dim_path):
         return
-    import shutil
-
     for name in os.listdir(dim_path):
         band = None
         if name.startswith("_oldband."):

@@ -122,6 +122,31 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id"):
         if not days:
             return
         last_day = st.get("last_day") if st is not None else None
+        if st is not None and last_day is None:
+            # Pre-sidecar publisher state (marker without 'last_day', no
+            # _snaphead dir): the folded head is unknown to the marker, so
+            # derive it from the published dimension itself — otherwise a
+            # repeated/split day on an upgraded-in-place dimension would
+            # silently skip both guards below and double-fold. A repeated
+            # head day can't be refolded without the sidecar's
+            # (ts, tiebreak), so that case fails loudly.
+            head = (
+                spark.read.parquet(dim_path)
+                .agg(F.max("effective_from").alias("h"))
+                .collect()[0]["h"]
+            )
+            last_day = str(head) if head is not None else None
+            if (
+                last_day is not None
+                and str(days[0]) == last_day
+                and not os.path.isdir(os.path.join(dim_path, _SNAP_DIR))
+            ):
+                raise ValueError(
+                    f"scd2 stream sink: batch {batch_id} repeats head day "
+                    f"{last_day} of a pre-sidecar dimension (no {_SNAP_DIR} "
+                    "snapshot to refold from); rebuild via "
+                    "scd2_rebuild_from_log"
+                )
         if last_day is not None and str(days[0]) < last_day:
             # event-time regression across micro-batches: the day-ordered
             # fold contract is non-decreasing days (the watermark

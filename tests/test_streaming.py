@@ -583,6 +583,65 @@ def test_scd2_sink_rejects_day_regression(spark, tmp_path):
         sink(day1_late, 1)
 
 
+def test_scd2_sink_pre_sidecar_dim_guarded(spark, tmp_path):
+    """A dimension published by the pre-sidecar sink (state marker without
+    'last_day', no _snaphead dir) must not silently skip the split-day /
+    regression guards: a repeated head day fails loudly (no snapshot to
+    refold from), an older day still trips the regression guard, and a
+    strictly newer day folds normally with the head derived from the
+    published dimension."""
+    import datetime as dt
+    import json
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from t20_database_etl_pipeline_assignment_spark.streaming.scd2_sink import (
+        _SNAP_DIR,
+        _STATE_FILE,
+        scd2_stream_sink,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    day2 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 1), 1, "view", 1.0)], schema
+    )
+    dim = str(tmp_path / "dim_presidecar")
+    sink = scd2_stream_sink(dim, ["user_id"], ["event_type", "value"])
+    sink(day2, 0)
+    # downgrade the published dim to the pre-sidecar layout: drop the
+    # snapshot dir and rewrite the marker without 'last_day'
+    shutil.rmtree(os.path.join(dim, _SNAP_DIR))
+    with open(os.path.join(dim, _STATE_FILE), "w") as f:
+        json.dump({"batch_id": 0}, f)
+
+    day2_repeat = spark.createDataFrame(
+        [(2, dt.datetime(2024, 1, 2, 2), 1, "click", 9.0)], schema
+    )
+    with _pytest.raises(ValueError, match="pre-sidecar"):
+        sink(day2_repeat, 1)
+
+    day1_late = spark.createDataFrame(
+        [(3, dt.datetime(2024, 1, 1, 1), 1, "view", 7.0)], schema
+    )
+    with _pytest.raises(ValueError, match="older than the folded head"):
+        sink(day1_late, 1)
+
+    day3 = spark.createDataFrame(
+        [(4, dt.datetime(2024, 1, 3, 1), 1, "purchase", 5.0)], schema
+    )
+    sink(day3, 1)
+    got = sorted(
+        spark.read.parquet(dim)
+        .select("event_type", "effective_from", "is_current")
+        .collect(),
+        key=lambda r: r.effective_from,
+    )
+    assert [r.event_type for r in got] == ["view", "purchase"]
+    assert [r.is_current for r in got] == [False, True]
+
+
 def test_stateful_cusum_ignores_uncalibrated_types(spark, sf_dir):
     """An event type with no calibration target must be silently skipped
     (not monitored), never a KeyError that kills the streaming query."""
