@@ -3,9 +3,10 @@ ride as opaque `binary` payload columns with typed metadata; decode /
 feature-extract run as Arrow-batched pandas iterators (`mapInPandas`).
 
 The container has no compressed-codec libraries (no libjpeg/ffmpeg), so
-decode is implemented pure-Python for the uncompressed public formats that
-need none: PPM (P6) and 24-bit BMP for images, YUV4MPEG2 (y4m) for video
-frame sampling. Everything Spark-side is real and tested: payload schema,
+decode is implemented pure-Python for the public formats that need none:
+PPM (P6), 24-bit BMP, and PNG (DEFLATE is stdlib `zlib`; 8-bit
+gray/RGB/RGBA with full scanline-filter reconstruction) for images,
+YUV4MPEG2 (y4m) for video frame sampling. Everything Spark-side is real and tested: payload schema,
 batch iteration shape, partition-preserving plumbing, and a feature
 extractor whose output is oracle-checkable (sha256/length/header bytes are
 codec-independent). A deployment with real codecs swaps the decoder body;
@@ -59,18 +60,23 @@ def extract_binary_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
 
 
 def decode_image(payload: bytes):
-    """Decode an uncompressed image payload to an (h, w, 3) uint8 RGB numpy
-    array. Pure-Python decoders for the two classic codec-free formats:
-    binary PPM (``P6``, maxval 255) and Windows BMP (BITMAPINFOHEADER,
-    24-bit BI_RGB, bottom-up or top-down). Raises ValueError on anything
-    else — compressed formats (JPEG/PNG) need codec libraries this
-    container doesn't ship; a real deployment swaps this body and keeps the
-    mapInPandas plumbing."""
+    """Decode an image payload to an (h, w, 3) uint8 RGB numpy array.
+    Pure-Python decoders for the formats that need no external codec:
+    binary PPM (``P6``, maxval 255), Windows BMP (BITMAPINFOHEADER,
+    24-bit BI_RGB, bottom-up or top-down), and PNG (8-bit gray/RGB/RGBA,
+    non-interlaced — DEFLATE via stdlib ``zlib``, all five scanline
+    filters). Raises ValueError on anything else — JPEG needs codec
+    libraries this container doesn't ship; a real deployment swaps this
+    body and keeps the mapInPandas plumbing."""
     if payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if payload[:2] == b"BM":
         return _decode_bmp24(payload)
-    raise ValueError("unsupported image format (supported: PPM P6, 24-bit BMP)")
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
+    raise ValueError(
+        "unsupported image format (supported: PPM P6, 24-bit BMP, 8-bit PNG)"
+    )
 
 
 def _decode_ppm_p6(data: bytes):
@@ -119,6 +125,80 @@ def _decode_bmp24(data: bytes):
     rows = np.frombuffer(data, np.uint8, count=stride * h, offset=pixel_off)
     px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
     return (px[::-1] if bottom_up else px).copy()
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(data: bytes):
+    """PNG (ISO/IEC 15948): chunked container -> zlib-DEFLATE scanlines,
+    each prefixed with a filter byte. Supports the common web shapes:
+    bit depth 8, color types 0 (gray, replicated to RGB), 2 (RGB) and
+    6 (RGBA, alpha dropped), non-interlaced. Filter reconstruction per
+    the spec: None/Up vectorize whole-row; Sub is a per-channel-lane
+    cumulative sum mod 256; Average/Paeth recurse on the reconstructed
+    left pixel, so those rows run byte-sequential."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ihdr, idat, pos = None, bytearray(), 8
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if len(chunk) != ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + payload + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype not in (0, 2, 6) or comp or filt or interlace:
+        raise ValueError(
+            "only 8-bit gray/RGB/RGBA non-interlaced PNG supported"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint16)  # uint16: filter math pre-mod
+    for y in range(h):
+        ft, line = lines[y, 0], lines[y, 1:]
+        up = out[y - 1] if y else np.zeros(stride, np.uint16)
+        if ft == 0:  # None
+            out[y] = line
+        elif ft == 2:  # Up
+            out[y] = (line + up) & 0xFF
+        elif ft == 1:  # Sub: cumsum per channel lane, mod 256
+            for c in range(ch):
+                out[y, c::ch] = np.cumsum(line[c::ch], dtype=np.uint64) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = out[y, x - ch] if x >= ch else 0
+                out[y, x] = (int(line[x]) + (int(left) + int(up[x])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(out[y, x - ch]) if x >= ch else 0
+                b = int(up[x])
+                c = int(out[y - 1, x - ch]) if (x >= ch and y) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[y, x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft} on row {y}")
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[..., :3].copy() if ch == 4 else px
 
 
 def sample_video_frames(payload: bytes, every_n: int = 30):

@@ -190,6 +190,153 @@ def test_decode_image_ppm_and_bmp():
         decode_image(b"\x89PNG....")
 
 
+def _png(pixels, ctype=2, filters=None) -> bytes:
+    """Hand-rolled PNG encoder (test oracle): 8-bit, color type 0/2/6,
+    one IDAT, per-row filter choice so every filter type (0..4) is
+    exercised against the decoder's reconstruction."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    filters = filters or [0] * h
+    rows = [bytes(c for px in row for c in (px if ch > 1 else (px,))) for row in pixels]
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for row, ft in zip(rows, filters):
+        raw.append(ft)
+        for x in range(w * ch):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((row[x] - pred) & 0xFF)
+        prev = row
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_png_all_filters_parity_with_ppm():
+    """PNG decode must reproduce the exact pixels of the same image encoded
+    as PPM, across every scanline filter type; gray replicates to RGB and
+    RGBA drops alpha."""
+    import numpy as np
+
+    from t20_database_etl_pipeline_assignment_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    h, w = 5, 4
+    pixels = [
+        [((r * 37 + c * 11) % 256, (r * 5 + c * 73) % 256, (r * 201 + c) % 256)
+         for c in range(w)]
+        for r in range(h)
+    ]
+    flat = bytes(c for row in pixels for px in row for c in px)
+    ppm = b"P6\n4 5\n255\n" + flat
+    want = decode_image(ppm)
+    # one row per filter type 0..4 — each reconstruction path exercised
+    png = _png(pixels, ctype=2, filters=[0, 1, 2, 3, 4])
+    got = decode_image(png)
+    assert got.dtype == np.uint8 and got.shape == (h, w, 3)
+    assert np.array_equal(got, want)
+
+    rgba = [[(r, g, b, 128) for (r, g, b) in row] for row in pixels]
+    got4 = decode_image(_png(rgba, ctype=6, filters=[4, 3, 2, 1, 0]))
+    assert np.array_equal(got4, want)
+
+    gray = [[px[0] for px in row] for row in pixels]
+    gotg = decode_image(_png(gray, ctype=0, filters=[1, 4, 1, 4, 2]))
+    assert np.array_equal(gotg[..., 0], want[..., 0])
+    assert np.array_equal(gotg[..., 0], gotg[..., 1])
+    assert np.array_equal(gotg[..., 1], gotg[..., 2])
+
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)  # no IHDR/IDAT
+
+
+def test_decode_png_spark_plumbing(spark):
+    """PNG payloads through the real Spark shape (binary column →
+    mapInPandas), and the codec-agnostic resize/frame kernels over the
+    same payload bytes."""
+    import hashlib
+
+    import pandas as pd
+
+    from t20_database_etl_pipeline_assignment_spark.operators.multimodal import (
+        decode_image,
+        resize_grids,
+        sample_frames,
+    )
+
+    imgs = {
+        i: [[((i * 13 + r * 7 + c) % 256,) * 3 for c in range(3 + i)]
+            for r in range(2 + i)]
+        for i in range(4)
+    }
+    rows = [(i, _png(px, ctype=2, filters=[(r % 5) for r in range(len(px))]))
+            for i, px in imgs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def kernel(batches):
+        for pdf in batches:
+            decoded = [decode_image(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d.shape[1] for d in decoded],
+                    "height": [d.shape[0] for d in decoded],
+                    "pixel_sha256": [
+                        hashlib.sha256(d.tobytes()).hexdigest() for d in decoded
+                    ],
+                }
+            )
+
+    got = {
+        r.doc_id: r
+        for r in df.mapInPandas(
+            kernel, "doc_id long, width long, height long, pixel_sha256 string"
+        ).collect()
+    }
+    for i, px in imgs.items():
+        flat = bytes(c for row in px for p in row for c in p)
+        assert (got[i].width, got[i].height) == (3 + i, 2 + i)
+        assert got[i].pixel_sha256 == hashlib.sha256(flat).hexdigest()
+
+    # the resize / frame-sample kernels are codec-agnostic byte ops — they
+    # must run unchanged over PNG payload bytes
+    pdf = pd.DataFrame({"doc_id": [i for i, _ in rows],
+                        "payload": [p for _, p in rows]})
+    resized = pd.concat(list(resize_grids(iter([pdf]))))
+    frames = pd.concat(list(sample_frames(iter([pdf]))))
+    assert set(resized["doc_id"]) == set(imgs)
+    assert len(frames) > 0 and set(frames["doc_id"]) == set(imgs)
+
+
 def test_sample_video_frames_y4m():
     import numpy as np
 

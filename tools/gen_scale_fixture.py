@@ -1,0 +1,180 @@
+"""Deterministic scale-up fixture generator (round-4 judge item #1).
+
+Synthesizes an sf1-style fixture set (default 10x sf0.1) so the scaling
+harness (tools/bench_scaling.py) can measure how every headline plan's
+wall-time actually grows with data volume, instead of asserting it.
+
+Method: key-shifted tiling of the driver fixtures — each of `factor`
+copies shifts every surrogate key by `copy * (max_key + 1)` of its key
+domain, so referential integrity (orders->customer, lineitem->orders/
+part/supplier, events per-user series) and every per-entity distribution
+are preserved EXACTLY while entity counts scale linearly, the same way
+TPC-H dbgen scales. `region`/`nation` stay fixed (TPC-H semantics).
+
+Two tables get a content perturbation so the dedup/similarity family
+scales linearly instead of quadratically-by-construction:
+
+- documents: copy i suffixes every token with a distinct lowercase letter
+  (a bijection on the token space - verified collision-free against the
+  fixture vocabulary, incl. under dedup_cascade's lower()+digit-mask
+  normalization). Within-copy shingle/Jaccard structure is bit-identical
+  to sf0.1; cross-copy shingle sets are disjoint, so near-dup output
+  scales exactly by `factor` rather than emitting C(factor,2) artificial
+  clone pairs per doc. n_chars is recomputed from the new text.
+- embeddings: copy i rotates each vector by i positions (norm-preserving;
+  within-copy geometry identical) and shifts `label` by the label-domain
+  stride so per-label cells scale in NUMBER not SIZE - the production
+  shape for the blocked similarity operators.
+
+No RNG anywhere: output is a pure function of the source fixture, so the
+artifact cache keys (sources/staging.py fingerprints) and oracle runs are
+reproducible across regenerations.
+
+Usage:
+    python tools/gen_scale_fixture.py [--src /root/testdata/sf0.1] \
+        [--dst <repo>/.scale_fixtures/sf1] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# key-domain column -> (table that owns the domain, key column) for strides
+KEY_DOMAINS = {
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "partkey": ("part", "p_partkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+    "label": ("embeddings", "label"),
+}
+
+# per-table: column -> key domain to shift per copy
+SHIFTS: dict[str, dict[str, str]] = {
+    "region": {},
+    "nation": {},
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey", "l_suppkey": "suppkey"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec", "label": "label"},
+}
+
+FIXED_TABLES = {"region", "nation"}  # do not scale (TPC-H semantics)
+
+# copy-i token suffix letters; collision-free vs the fixture vocabulary
+# (no vocab word equals another vocab word + one of these letters), and
+# stable under lower()+digit-mask normalization
+_SUFFIX = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _strides(src: str) -> dict[str, int]:
+    out = {}
+    for domain, (tbl, col) in KEY_DOMAINS.items():
+        t = pq.read_table(os.path.join(src, f"{tbl}.parquet"), columns=[col])
+        out[domain] = int(pc.max(t.column(0)).as_py()) + 1
+    return out
+
+
+def _perturb_documents(tbl: pa.Table, copy: int) -> pa.Table:
+    if copy == 0:
+        return tbl
+    suf = _SUFFIX[copy - 1]
+    texts = [
+        " ".join(tok + suf for tok in t.split(" "))
+        for t in tbl.column("text").to_pylist()
+    ]
+    cols = {name: tbl.column(name) for name in tbl.column_names}
+    cols["text"] = pa.array(texts, type=tbl.schema.field("text").type)
+    cols["n_chars"] = pa.array(
+        [len(t) for t in texts], type=tbl.schema.field("n_chars").type
+    )
+    return pa.table(cols, schema=tbl.schema)
+
+
+def _perturb_embeddings(tbl: pa.Table, copy: int) -> pa.Table:
+    if copy == 0:
+        return tbl
+    vecs = [v[copy:] + v[:copy] for v in tbl.column("embedding").to_pylist()]
+    cols = {name: tbl.column(name) for name in tbl.column_names}
+    cols["embedding"] = pa.array(vecs, type=tbl.schema.field("embedding").type)
+    return pa.table(cols, schema=tbl.schema)
+
+
+def _shifted_copy(tbl: pa.Table, shifts: dict[str, str], strides: dict[str, int],
+                  copy: int) -> pa.Table:
+    if copy == 0:
+        return tbl
+    cols = {}
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        if name in shifts:
+            typ = tbl.schema.field(name).type
+            col = pc.cast(pc.add(col, copy * strides[shifts[name]]), typ)
+        cols[name] = col
+    return pa.table(cols, schema=tbl.schema)
+
+
+def generate(src: str, dst: str, factor: int) -> None:
+    assert 1 <= factor <= len(_SUFFIX) + 1, "token-suffix alphabet bounds factor"
+    os.makedirs(dst, exist_ok=True)
+    strides = _strides(src)
+    for name in TABLES:
+        src_file = os.path.join(src, f"{name}.parquet")
+        dst_file = os.path.join(dst, f"{name}.parquet")
+        tmp = dst_file + ".tmp"
+        if name in FIXED_TABLES:
+            shutil.copyfile(src_file, tmp)
+            os.replace(tmp, dst_file)
+            continue
+        base = pq.read_table(src_file)
+        copies = []
+        for i in range(factor):
+            t = base
+            if name == "documents":
+                t = _perturb_documents(t, i)
+            elif name == "embeddings":
+                t = _perturb_embeddings(t, i)
+            copies.append(_shifted_copy(t, SHIFTS[name], strides, i))
+        out = pa.concat_tables(copies)
+        # right-size row groups: the driver fixtures land as ONE row group
+        # (unsplittable - see sources/tables.py restaging note); the scaled
+        # fixture writes ~24 groups so Spark can parallelize the scan the
+        # way a production landing zone would be laid out
+        rg = max(16_384, out.num_rows // 24)
+        pq.write_table(out, tmp, row_group_size=rg)
+        os.replace(tmp, dst_file)
+        print(f"{name}: {base.num_rows} -> {out.num_rows} rows "
+              f"({os.path.getsize(dst_file) // 1024} KiB)", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default=os.path.join(REPO, ".scale_fixtures", "sf1"))
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+    generate(args.src, args.dst, args.factor)
+
+
+if __name__ == "__main__":
+    main()
