@@ -103,10 +103,51 @@ def atomic_swap_publish(
     shutil.rmtree(old, ignore_errors=True)
 
 
-def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id"):
+_LOG_SUFFIX = ".log"  # bronze event-log sidecar, OUTSIDE the swapped dir
+
+
+def _append_batch_log(batch_df: DataFrame, dim_path: str, batch_id: int,
+                      cols: list[str]) -> None:
+    """Idempotently append one micro-batch to the bronze event-log sidecar
+    (`<dim>.log/batch=<id>/`). The log lives OUTSIDE the swapped dimension
+    dir so appends are O(batch), never O(history). Per-batch subdirs
+    publish with tmp+rename: a re-delivered or crash-retried batch finds
+    its subdir already present and skips (deterministic content, so either
+    writer's output is correct); a stranded tmp is underscore-prefixed and
+    thus invisible to Spark's reader."""
+    dst = os.path.join(dim_path + _LOG_SUFFIX, f"batch={batch_id}")
+    if os.path.exists(dst):
+        return
+    os.makedirs(dim_path + _LOG_SUFFIX, exist_ok=True)
+    tmp = os.path.join(dim_path + _LOG_SUFFIX, f"_tmpbatch.{batch_id}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    batch_df.select(*cols).write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, dst)
+
+
+def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
+                     late_policy="fail"):
     """Build the foreachBatch callable. The returned `fold` records which
     batch_ids it applied vs skipped (`fold.applied` / `fold.skipped`) so
-    tests can assert the exactly-once bookkeeping, not just final state."""
+    tests can assert the exactly-once bookkeeping, not just final state.
+
+    Every applied batch also appends to the bronze event-log sidecar
+    (`<dim>.log/`), so the dimension can always be audited or rebuilt from
+    raw history. `late_policy` governs event-time DAY regression (a batch
+    whose earliest day precedes the folded head — the fold's watermark
+    assumption broken):
+
+    - "fail" (default): raise, as before — the operator decides.
+    - "reconcile": route the late rows through a BOUNDED re-fold — the
+      affected keys (those with late rows; typically a tiny fraction of
+      the dimension) are rebuilt from the full bronze log with the
+      one-pass `scd2_fold_log`, replacing their published history, while
+      all other keys take the normal in-order day fold. Cost is
+      O(log-rows-of-affected-keys), not O(dimension), and the result
+      converges to the same rows as a change-log rebuild over ALL events
+      (tests/test_streaming.py proves it). Requires the log to have been
+      maintained from batch 0 (`has_log` in the state marker); a
+      pre-log dimension fails loudly toward scd2_rebuild_from_log."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -116,11 +157,12 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id"):
             fold.skipped.append(batch_id)  # re-delivered: already published
             return
         day = F.date_trunc("day", F.col(ts_col))
-        days = [
+        all_days = [
             r["d"] for r in batch_df.select(day.alias("d")).distinct().orderBy("d").collect()
         ]  # bounded: distinct event-days inside ONE micro-batch
-        if not days:
+        if not all_days:
             return
+        days = all_days
         last_day = st.get("last_day") if st is not None else None
         if st is not None and last_day is None:
             # Pre-sidecar publisher state (marker without 'last_day', no
@@ -147,15 +189,29 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id"):
                     "snapshot to refold from); rebuild via "
                     "scd2_rebuild_from_log"
                 )
-        if last_day is not None and str(days[0]) < last_day:
+        late_days = (
+            [d for d in all_days if str(d) < last_day] if last_day is not None else []
+        )
+        if late_days and late_policy == "fail":
             # event-time regression across micro-batches: the day-ordered
             # fold contract is non-decreasing days (the watermark
-            # assumption). Late days need scd2_rebuild_from_log — fail
-            # loudly rather than silently mis-folding.
+            # assumption). Late days need scd2_rebuild_from_log or
+            # late_policy="reconcile" — fail loudly rather than silently
+            # mis-folding.
             raise ValueError(
                 f"scd2 stream sink: batch {batch_id} contains day "
                 f"{days[0]} older than the folded head {last_day}"
             )
+        if late_days and not (st or {}).get("has_log"):
+            raise ValueError(
+                f"scd2 stream sink: batch {batch_id} contains late days but "
+                "the dimension predates the bronze event log (no 'has_log' "
+                "in its state marker) — cannot refold affected keys; "
+                "rebuild via scd2_rebuild_from_log"
+            )
+        log_cols = [*keys, *attrs, ts_col, tiebreak]
+        _append_batch_log(batch_df, dim_path, batch_id, log_cols)
+        days = [d for d in all_days if d not in late_days]
         target = spark.read.parquet(dim_path) if st is not None else None
         w = Window.partitionBy(*keys).orderBy(F.desc(ts_col), F.desc(tiebreak))
         snap_rows = None
@@ -210,11 +266,72 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id"):
                 target = scd2_apply(
                     target, staged, keys=keys, attrs=attrs, batch_ts=bts
                 ).localCheckpoint()
+        new_last = str(days[-1]) if days else last_day
+        if days:
+            snap_final = snap_rows
+        else:
+            # entire batch was late: keep the published head-day sidecar
+            # (refreshed below for the affected keys)
+            snap_final = spark.read.parquet(
+                os.path.join(dim_path, _SNAP_DIR)
+            ).localCheckpoint()
+        if late_days:
+            # BOUNDED RECONCILIATION: the affected keys' history is
+            # replaced by the one-pass fold of the full bronze log (which
+            # already includes this batch), and their head-day sidecar
+            # rows are recomputed from the log — everything else keeps the
+            # in-order fold above. Joins are semi/anti on the (small)
+            # affected-key set; cost scales with those keys' log rows.
+            affected = (
+                batch_df.filter(day.isin(late_days))
+                .select(*keys)
+                .distinct()
+                .localCheckpoint()
+            )
+            log_df = spark.read.parquet(dim_path + _LOG_SUFFIX).select(*log_cols)
+            aff_log = log_df.join(affected, on=list(keys), how="left_semi")
+            tgt_types = dict(target.dtypes)
+            rebuilt = scd2_fold_log(aff_log, keys, attrs, ts_col, tiebreak)
+            rebuilt = rebuilt.select(
+                *keys,
+                *attrs,
+                F.col("effective_from").cast(tgt_types["effective_from"]).alias(
+                    "effective_from"
+                ),
+                F.col("effective_to").cast(tgt_types["effective_to"]).alias(
+                    "effective_to"
+                ),
+                "is_current",
+            )
+            target = (
+                target.join(affected, on=list(keys), how="left_anti")
+                .unionByName(rebuilt.select(*target.columns))
+                .localCheckpoint()
+            )
+            head_snap = (
+                aff_log.filter(
+                    F.date_trunc("day", F.col(ts_col)).cast("string") == new_last
+                )
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(*log_cols)
+            )
+            snap_final = (
+                snap_final.join(affected, on=list(keys), how="left_anti")
+                .unionByName(head_snap)
+                .localCheckpoint()
+            )
         atomic_swap_publish(
             target,
             dim_path,
-            {"batch_id": batch_id, "last_day": str(days[-1])},
-            snap=snap_rows,
+            {
+                "batch_id": batch_id,
+                "last_day": new_last,
+                # the log is complete only if maintained from batch 0 —
+                # reconciliation refuses to run from a partial log
+                "has_log": st.get("has_log", False) if st is not None else True,
+            },
+            snap=snap_final,
         )
         fold.applied.append(batch_id)
 
@@ -222,45 +339,59 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id"):
     return fold
 
 
-def scd2_daily_fold_spec(events: DataFrame) -> DataFrame:
-    """The dimension the day-batched streaming fold converges to, as one
-    batch plan (see module docstring for the fold≡rebuild equivalence):
-    latest (event_type, value) per (user_id, day) → drop consecutive
-    no-op days → effective-date with lead(). Two window passes on the
-    same user partitioning."""
+def scd2_fold_log(
+    log: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Generic one-pass day-fold over an event log (the dimension the
+    day-batched streaming fold converges to — see module docstring for the
+    fold≡rebuild equivalence): latest attrs per (keys, day) → drop
+    consecutive no-op days → effective-date with lead(). Two window passes
+    on the same key partitioning. Also the replacement relation the
+    `late_policy="reconcile"` path computes for late-affected keys."""
     snap = (
-        events.withColumn("d", F.date_trunc("day", F.col("ts")))
+        log.withColumn("_d", F.date_trunc("day", F.col(ts_col)))
         .withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy("user_id", "d").orderBy(
-                    F.desc("ts"), F.desc("event_id")
+                Window.partitionBy(*keys, "_d").orderBy(
+                    F.desc(ts_col), F.desc(tiebreak)
                 )
             ),
         )
         .filter(F.col("_rn") == 1)
-        .select("user_id", "event_type", "value", "d")
+        .select(*keys, *attrs, "_d")
     )
-    w = Window.partitionBy("user_id").orderBy("d")
-    chg = (
-        snap.withColumn("_pd", F.lag("d").over(w))
-        .withColumn("_pt", F.lag("event_type").over(w))
-        .withColumn("_pv", F.lag("value").over(w))
-        .filter(
-            F.col("_pd").isNull()
-            | ~F.col("_pt").eqNullSafe(F.col("event_type"))
-            | ~F.col("_pv").eqNullSafe(F.col("value"))
-        )
+    w = Window.partitionBy(*keys).orderBy("_d")
+    lagged = snap.select(
+        "*",
+        F.lag("_d").over(w).alias("_pd"),
+        *[F.lag(a).over(w).alias(f"_p_{a}") for a in attrs],
     )
+    changed = None
+    for a in attrs:
+        c = ~F.col(f"_p_{a}").eqNullSafe(F.col(a))
+        changed = c if changed is None else (changed | c)
+    chg = lagged.filter(F.col("_pd").isNull() | changed)
+    far = F.lit(_FAR_FUTURE).cast(dict(log.dtypes)[ts_col])
     return chg.select(
-        "user_id",
-        "event_type",
-        "value",
-        F.col("d").alias("effective_from"),
-        F.coalesce(
-            F.lead("d").over(w), F.lit(_FAR_FUTURE).cast("timestamp_ntz")
-        ).alias("effective_to"),
-        F.lead("d").over(w).isNull().alias("is_current"),
+        *keys,
+        *attrs,
+        F.col("_d").alias("effective_from"),
+        F.coalesce(F.lead("_d").over(w), far).alias("effective_to"),
+        F.lead("_d").over(w).isNull().alias("is_current"),
+    )
+
+
+def scd2_daily_fold_spec(events: DataFrame) -> DataFrame:
+    """The events-table instantiation of `scd2_fold_log` — the batch plan
+    the registered `stream_scd2_sink` query is hash-checked against."""
+    return scd2_fold_log(
+        events, ["user_id"], ["event_type", "value"], ts_col="ts",
+        tiebreak="event_id",
     )
 
 
@@ -297,3 +428,67 @@ def stream_scd2_sink_query(spark, sf_dir: str) -> DataFrame:
     + injected crash + restart) and asserts it lands on exactly these
     rows."""
     return scd2_daily_fold_spec(table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_scd2_late_reconcile",
+    oracle=f"""
+WITH head AS (SELECT date_trunc('day', max(ts)) AS h FROM events),
+affected AS (
+  SELECT DISTINCT user_id FROM events, head
+  WHERE event_id % 97 = 0 AND date_trunc('day', ts) < h),
+ev AS (SELECT e.* FROM events e JOIN affected a ON e.user_id = a.user_id),
+snap AS (
+  SELECT * FROM (
+    SELECT user_id, event_type, value, date_trunc('day', ts) AS d,
+           ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1),
+chg AS (
+  SELECT * FROM (
+    SELECT user_id, event_type, value, d,
+           LAG(d) OVER w AS pd,
+           LAG(event_type) OVER w AS pt,
+           LAG(value) OVER w AS pv
+    FROM snap WINDOW w AS (PARTITION BY user_id ORDER BY d))
+  WHERE pd IS NULL
+     OR pt IS DISTINCT FROM event_type
+     OR pv IS DISTINCT FROM value)
+SELECT user_id, event_type, value,
+       d AS effective_from,
+       COALESCE(LEAD(d) OVER w2, TIMESTAMP '{_FAR_FUTURE}') AS effective_to,
+       LEAD(d) OVER w2 IS NULL AS is_current
+FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY d)
+""",
+)
+def stream_scd2_late_reconcile_query(spark, sf_dir: str) -> DataFrame:
+    """Batch-checkable contract for the sink's late_policy="reconcile"
+    path: the replacement relation it computes for late-affected keys —
+    the one-pass `scd2_fold_log` over exactly those keys' full history.
+    Stragglers are simulated deterministically (event_id % 97 arriving
+    after the head day); the affected-key set is their distinct users,
+    mirroring how the sink derives it from the late rows of a batch.
+    tests/test_streaming.py drives the REAL sink through late batches and
+    asserts convergence to the change-log rebuild; this query hash-checks
+    the replacement-fold semantics against DuckDB. The 1-row head-day
+    aggregate broadcasts (reviewed BNLJ); the affected-key set drives
+    semi-joins, so cost scales with those keys' log rows, never the
+    dimension."""
+    e = table(spark, sf_dir, "events")
+    head = e.agg(F.date_trunc("day", F.max("ts")).alias("_h"))
+    affected = (
+        e.crossJoin(F.broadcast(head))
+        .filter(
+            (F.col("event_id") % 97 == 0)
+            & (F.date_trunc("day", F.col("ts")) < F.col("_h"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return scd2_fold_log(
+        e.join(affected, on="user_id", how="left_semi"),
+        ["user_id"],
+        ["event_type", "value"],
+        ts_col="ts",
+        tiebreak="event_id",
+    )

@@ -146,6 +146,7 @@ _BNLJ_ALLOWED = {
     "emb_matryoshka_recall", # tiny query-set broadcast, no equi key
     "zorder_cluster_audit",  # 1-row min/max-stats broadcast (grid normalization)
     "market_basket_pairs",   # 1-row order-count broadcast (support denominator)
+    "stream_scd2_late_reconcile",  # 1-row head-day broadcast
 }
 _PY_ROW_ALLOWED = {"udf_python_scalar", "udtf_explode_custom"}  # §2.K escape hatches
 # Queries allowed an unbounded global sort (none expected; review any addition)

@@ -583,6 +583,82 @@ def test_scd2_sink_rejects_day_regression(spark, tmp_path):
         sink(day1_late, 1)
 
 
+def test_scd2_sink_late_day_reconciliation(spark, tmp_path):
+    """late_policy='reconcile': a batch carrying stragglers for
+    already-folded days must converge to the change-log rebuild over ALL
+    events — the affected keys are refolded from the bronze log, everything
+    else takes the normal in-order fold. Covers: a day-2 batch with a day-1
+    straggler that CHANGES day-1's argmax, a straggler for a key never seen
+    before (late-only key), an entirely-late batch (no fresh days), and
+    exactly-once bookkeeping on re-delivery after reconciliation."""
+    import datetime as dt
+
+    from t20_database_etl_pipeline_assignment_spark.streaming.scd2_sink import (
+        scd2_daily_fold_spec,
+        scd2_stream_sink,
+    )
+
+    d1, d2, d3 = (dt.datetime(2024, 1, n) for n in (1, 2, 3))
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    b0 = spark.createDataFrame(
+        [
+            (1, d1 + dt.timedelta(hours=10), 1, "view", 1.0),
+            (2, d1 + dt.timedelta(hours=11), 2, "view", 2.0),
+        ],
+        schema,
+    )
+    # day-2 rows PLUS a day-1 straggler for u2 with a LATER ts than b0's
+    # day-1 row (changes day-1's argmax), and a day-1 straggler for u3
+    # (a key the dimension has never seen)
+    b1 = spark.createDataFrame(
+        [
+            (3, d2 + dt.timedelta(hours=9), 1, "click", 3.0),
+            (4, d1 + dt.timedelta(hours=15), 2, "buy", 9.0),
+            (5, d1 + dt.timedelta(hours=8), 3, "view", 4.0),
+        ],
+        schema,
+    )
+    # entirely-late batch: another day-1 straggler (loses to event 4 on ts)
+    b2 = spark.createDataFrame(
+        [(6, d1 + dt.timedelta(hours=14), 2, "scroll", 7.0)], schema
+    )
+    b3 = spark.createDataFrame(
+        [(7, d3 + dt.timedelta(hours=1), 3, "buy", 5.0)], schema
+    )
+    dim = str(tmp_path / "dim_late")
+    sink = scd2_stream_sink(
+        dim, ["user_id"], ["event_type", "value"], late_policy="reconcile"
+    )
+    batches = [b0, b1, b2, b3]
+    for i, b in enumerate(batches):
+        sink(b, i)
+    sink(b2, 2)  # re-delivery after reconciliation: must skip
+    assert sink.applied == [0, 1, 2, 3] and sink.skipped == [2]
+
+    got = sorted(
+        spark.read.parquet(dim)
+        .select("user_id", "event_type", "value",
+                "effective_from", "effective_to", "is_current")
+        .collect(),
+        key=lambda r: (r.user_id, r.effective_from),
+    )
+    all_events = b0.unionByName(b1).unionByName(b2).unionByName(b3)
+    want = sorted(
+        scd2_daily_fold_spec(all_events)
+        .withColumn("effective_from", F.col("effective_from").cast("timestamp"))
+        .withColumn("effective_to", F.col("effective_to").cast("timestamp"))
+        .collect(),
+        key=lambda r: (r.user_id, r.effective_from),
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # explicitly: u2's day-1 version is the 15:00 'buy' straggler, and the
+    # late-only key u3 has a day-1 version despite arriving in batch 1
+    u2 = [r for r in got if r.user_id == 2]
+    assert u2[0].event_type == "buy" and u2[0].value == 9.0
+    u3 = [r for r in got if r.user_id == 3]
+    assert u3[0].effective_from == d1
+
+
 def test_scd2_sink_pre_sidecar_dim_guarded(spark, tmp_path):
     """A dimension published by the pre-sidecar sink (state marker without
     'last_day', no _snaphead dir) must not silently skip the split-day /
