@@ -53,3 +53,68 @@ def shuffle_count(df: DataFrame) -> int:
     """Exchanges in the plan tree (includes BroadcastExchange; use
     count_nodes for finer distinctions)."""
     return count_nodes(df, "Exchange")
+
+
+def smj_small_sides(df: DataFrame) -> list[str]:
+    """For every SortMergeJoin in the (initial) physical plan, report each
+    side whose logical-plan size ESTIMATE is under the session broadcast
+    threshold — the shape where static planning shuffled both sides of a
+    join that a broadcast would have served shuffle-free. AQE often repairs
+    this at runtime, but the repair costs a materialized shuffle stage
+    first; the gate catches it at plan time. Returns human-readable size
+    strings (empty = clean). Sides without a resolvable logical estimate
+    are skipped rather than guessed."""
+    spark = df.sparkSession
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    jvm = spark._jvm
+    try:
+        thresh = int(jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(str(raw)))
+    except Exception:  # noqa: BLE001 — unparseable conf: skip the check
+        return []
+    if thresh <= 0:  # broadcast disabled: SMJ is the intended strategy
+        return []
+
+    plan = df._jdf.queryExecution().executedPlan()
+    smjs: list = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        if name == "SortMergeJoinExec":
+            smjs.append(node)
+        kids = node.children()
+        for i in range(kids.length()):
+            walk(kids.apply(i))
+
+    walk(plan)
+    out: list[str] = []
+    for j in smjs:
+        # only the broadcast-ELIGIBLE build side matters: inner/cross can
+        # build either side; left outer/semi/anti and existence joins can
+        # only build RIGHT; right outer only LEFT; full outer neither
+        jt = str(j.joinType()).replace("_", "").lower()
+        if jt in ("inner", "cross"):
+            eligible = (0, 1)
+        elif jt in ("leftouter", "leftsemi", "leftanti") or jt.startswith("existence"):
+            eligible = (1,)
+        elif jt == "rightouter":
+            eligible = (0,)
+        else:  # full outer (and anything unknown): SMJ is the right call
+            continue
+        link = j.logicalLink()  # the logical Join this SMJ compiles
+        if not link.isDefined():
+            continue
+        kids = link.get().children()
+        for i in eligible:
+            if i >= kids.length():
+                continue
+            try:
+                size = int(str(kids.apply(i).stats().sizeInBytes()))
+            except Exception:  # noqa: BLE001 — stats unavailable: skip
+                continue
+            if size < thresh:
+                side = "left" if i == 0 else "right"
+                out.append(f"{jt} {side} side {size}B (threshold {thresh}B)")
+    return out

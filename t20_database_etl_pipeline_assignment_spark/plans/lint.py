@@ -17,15 +17,28 @@ Each finding is (code, message). Codes:
 - ``global_sort``  — a single-partition global Sort that is not a bounded
                      top-k (TakeOrderedAndProject): the whole dataset lands
                      on one task.
+- ``no_pushdown``  — a Filter applies a pushable predicate (plain-column
+                     comparison / null test / StartsWith) to a file scan
+                     whose PushedFilters is EMPTY: the scan reads every row
+                     group the predicate could have skipped.
+- ``smj_small_side`` — SortMergeJoin with a side whose logical size
+                     estimate is under the broadcast threshold: the join
+                     shuffles both sides where a broadcast would shuffle
+                     neither (df-based check; needs the live plan).
 """
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
-from .inspect import plan_string
+from .inspect import plan_string, smj_small_sides
 
-_CODES = ("cartesian", "bnlj", "row_python", "global_sort")
+_CODES = (
+    "cartesian", "bnlj", "row_python", "global_sort", "no_pushdown",
+    "smj_small_side",
+)
 
 
 def lint_text(plan: str, allow: set[str] | frozenset[str] = frozenset()) -> list[tuple[str, str]]:
@@ -46,7 +59,52 @@ def lint_text(plan: str, allow: set[str] | frozenset[str] = frozenset()) -> list
         findings.append(
             ("global_sort", "global Sort without top-k bound — single-task bottleneck")
         )
+    if "no_pushdown" not in allow:
+        cols = _unpushed_filter_columns(plan)
+        if cols:
+            findings.append(
+                ("no_pushdown",
+                 f"pushable predicate on {sorted(cols)} filters a scan whose "
+                 "PushedFilters is empty — predicate never reached the reader")
+            )
     return findings
+
+
+# formatted-plan scan block: "Output [n]: [a#1, b#2]" ... "PushedFilters: []"
+_SCAN_BLOCK = re.compile(
+    r"Output \[\d+\]: \[([^\]]*)\][^()]*?PushedFilters: \[\]", re.S
+)
+_ATTR = re.compile(r"(\w+)#(\d+)")
+
+
+def _unpushed_filter_columns(plan: str) -> set[str]:
+    """Columns of empty-PushedFilters file scans that some Filter condition
+    tests with a pushable shape: a BARE attribute (no expression wrapping)
+    compared to a literal, null-tested, or StartsWith. Casts/functions
+    around the column are not pushable-as-written and don't count."""
+    empty_scan_attrs: dict[str, str] = {}  # attr id -> name
+    for m in _SCAN_BLOCK.finditer(plan):
+        for name, num in _ATTR.findall(m.group(1)):
+            empty_scan_attrs[num] = name
+    if not empty_scan_attrs:
+        return set()
+    hit: set[str] = set()
+    for cond in re.findall(r"Condition : (.*)", plan):
+        # bare attr compared against a literal (number, quoted string, date)
+        for name, num, _op in re.findall(
+            r"(?<![\w)])(\w+)#(\d+)L?\s*(=|>=|<=|>|<)\s*[\d'\"-]", cond
+        ):
+            if empty_scan_attrs.get(num) == name:
+                hit.add(name)
+        for fn, name, num in re.findall(
+            r"(isnotnull|isnull|StartsWith)\((\w+)#(\d+)", cond, re.I
+        ):
+            # null tests alone are usually residue of other predicates;
+            # only count them when paired with a literal comparison on the
+            # same column (handled above) or an explicit StartsWith
+            if fn == "StartsWith" and empty_scan_attrs.get(num) == name:
+                hit.add(name)
+    return hit
 
 
 def _has_global_sort(plan: str) -> bool:
@@ -64,4 +122,12 @@ def lint(df: DataFrame, allow: set[str] | frozenset[str] = frozenset()) -> list[
     unknown = set(allow) - set(_CODES)
     if unknown:
         raise ValueError(f"unknown lint codes in allow: {sorted(unknown)}")
-    return lint_text(plan_string(df), allow)
+    findings = lint_text(plan_string(df), allow)
+    if "smj_small_side" not in allow:
+        for side in smj_small_sides(df):
+            findings.append(
+                ("smj_small_side",
+                 f"SortMergeJoin side estimated {side} — under the broadcast "
+                 "threshold; a broadcast join would avoid both shuffles")
+            )
+    return findings

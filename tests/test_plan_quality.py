@@ -151,6 +151,12 @@ _BNLJ_ALLOWED = {
 _PY_ROW_ALLOWED = {"udf_python_scalar", "udtf_explode_custom"}  # §2.K escape hatches
 # Queries allowed an unbounded global sort (none expected; review any addition)
 _GLOBAL_SORT_ALLOWED: set[str] = set()
+# Queries allowed a SortMergeJoin with a sub-broadcast-threshold side:
+_SMJ_SMALL_ALLOWED = {
+    "join_bucketed_colocated",  # bucketed SMJ with ZERO exchanges is the
+                                # demonstrated plan shape — broadcasting
+                                # would defeat the co-location demo
+}
 
 
 def test_plan_sweep_no_scale_antipatterns(spark, sf_dir):
@@ -171,6 +177,8 @@ def test_plan_sweep_no_scale_antipatterns(spark, sf_dir):
             allow.add("row_python")
         if qid in _GLOBAL_SORT_ALLOWED:
             allow.add("global_sort")
+        if qid in _SMJ_SMALL_ALLOWED:
+            allow.add("smj_small_side")
         findings = lint(fn(spark, sf_dir), allow=allow)
         if findings:
             offenders[qid] = [code for code, _ in findings]
@@ -270,3 +278,71 @@ def test_bm25_topk_uses_heap_topk_and_broadcast_stats(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_lint_no_pushdown_detects_empty_pushed_filters():
+    """The no_pushdown gate: a pushable literal comparison filtering a scan
+    whose PushedFilters is empty must flag; the same predicate with a
+    populated PushedFilters, or a non-pushable (function-wrapped) one over
+    an empty list, must not."""
+    from t20_database_etl_pipeline_assignment_spark.plans.lint import lint_text
+
+    bad = (
+        "(1) Scan parquet\n"
+        "Output [2]: [l_orderkey#0L, l_quantity#4]\n"
+        "Location: InMemoryFileIndex [file:/x]\n"
+        "PushedFilters: []\n"
+        "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>\n\n"
+        "(2) Filter\n"
+        "Input [2]: [l_orderkey#0L, l_quantity#4]\n"
+        "Condition : (isnotnull(l_quantity#4) AND (l_quantity#4 > 30.0))\n"
+    )
+    codes = [c for c, _ in lint_text(bad)]
+    assert "no_pushdown" in codes
+
+    good = bad.replace(
+        "PushedFilters: []",
+        "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]",
+    )
+    assert "no_pushdown" not in [c for c, _ in lint_text(good)]
+
+    # function-wrapped column: not pushable-as-written, must not flag
+    wrapped = bad.replace(
+        "Condition : (isnotnull(l_quantity#4) AND (l_quantity#4 > 30.0))",
+        "Condition : (round(l_quantity#4, 1) > 30.0)",
+    )
+    assert "no_pushdown" not in [c for c, _ in lint_text(wrapped)]
+
+    assert lint_text(bad, allow={"no_pushdown"}) == []
+
+
+def test_lint_smj_small_side_eligibility(spark, sf_dir):
+    """The smj_small_side gate: an inner SMJ whose sides are under the
+    broadcast threshold flags; a full-outer SMJ (cannot broadcast) and a
+    left-anti SMJ whose only SMALL side is the non-buildable left do not."""
+    from t20_database_etl_pipeline_assignment_spark.plans.lint import lint
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # plan with broadcast effectively disabled -> static planner picks
+        # SMJ; then lint the frozen plans under a 4kb threshold so only the
+        # kilobyte-scale dims (nation/region) count as "small"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        inner = n.join(r, n.n_regionkey == r.r_regionkey)
+        fo = n.join(r, n.n_regionkey == r.r_regionkey, "full_outer")
+        anti = n.join(li, n.n_nationkey == li.l_suppkey, "left_anti")
+        for df in (inner, fo, anti):
+            df._jdf.queryExecution().executedPlan()  # freeze the plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4kb")
+
+        assert "smj_small_side" in [c for c, _ in lint(inner)]
+        assert lint(inner, allow={"smj_small_side"}) == []
+        assert "smj_small_side" not in [c for c, _ in lint(fo)]
+        # left-anti: the tiny LEFT side is not broadcast-eligible, and the
+        # right side is above the 4kb threshold, so nothing flags
+        assert "smj_small_side" not in [c for c, _ in lint(anti)]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
