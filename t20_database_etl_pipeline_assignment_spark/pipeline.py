@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import logging
 import os
+import shutil
 import time
 from contextlib import contextmanager
 
@@ -91,8 +92,6 @@ def _scd2_rewrite_bands(
     discipline as _overwrite_in_place). Untouched band files are never
     opened, rewritten, or re-timestamped — the nightly dimension rewrite
     is pruned to |changed bands| / _N_DIM_BANDS of the dimension."""
-    import shutil
-
     key = F.col(keys[0])
     tslice = target.filter(F.col("_band").isin(bands)).drop("_band")
     sslice = staged.filter(_dim_band(key).isin(bands))

@@ -178,3 +178,74 @@ def test_band_swap_recovery_both_crash_windows(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(dim).select("k", "v", "_band").collect()
     )
     assert got == baseline
+
+
+# band-swap crash-state model: what a crash can leave behind per band
+_BAND_STATES = [
+    "intact",        # live only (no crash)
+    "old_only",      # crash between the two renames: survivor holds truth
+    "both",          # crash before cleanup: live is newer, survivor stale
+    "legacy_old",    # pre-hidden-naming survivor, live missing
+    "legacy_both",   # pre-hidden-naming survivor beside a live band
+]
+
+
+def _hyp():
+    from hypothesis import HealthCheck, example, given, settings
+    from hypothesis import strategies as st
+    return HealthCheck, example, given, settings, st
+
+
+HealthCheck, example, given, settings, st = _hyp()
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(states=st.lists(st.sampled_from(_BAND_STATES), min_size=1, max_size=6))
+@example(states=["old_only", "both", "legacy_old", "legacy_both", "intact"])
+def test_band_swap_recovery_heals_any_crash_combination(states):
+    """recover_band_swaps over EVERY per-band crash-state combination: after
+    recovery each band has exactly its live dir, holding the survivor's
+    content iff the live dir was missing (crash between renames) and the
+    newer live content otherwise; no survivor dirs remain; and a second
+    recovery is a no-op (idempotence)."""
+    import os
+    import tempfile
+
+    from t20_database_etl_pipeline_assignment_spark.pipeline import (
+        recover_band_swaps,
+    )
+
+    def mkband(root, name, content):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        with open(os.path.join(d, "data.txt"), "w") as f:
+            f.write(content)
+
+    with tempfile.TemporaryDirectory() as dim:
+        want: dict[int, str] = {}
+        for b, state in enumerate(states):
+            if state == "intact":
+                mkband(dim, f"_band={b}", "live")
+                want[b] = "live"
+            elif state == "old_only":
+                mkband(dim, f"_oldband.{b}", "old")
+                want[b] = "old"
+            elif state == "both":
+                mkband(dim, f"_band={b}", "live")
+                mkband(dim, f"_oldband.{b}", "old")
+                want[b] = "live"
+            elif state == "legacy_old":
+                mkband(dim, f"_band={b}.old", "old")
+                want[b] = "old"
+            else:  # legacy_both
+                mkband(dim, f"_band={b}", "live")
+                mkband(dim, f"_band={b}.old", "old")
+                want[b] = "live"
+
+        for _ in range(2):  # second pass proves idempotence
+            recover_band_swaps(dim)
+            listing = sorted(os.listdir(dim))
+            assert listing == [f"_band={b}" for b in sorted(want)], listing
+            for b, content in want.items():
+                with open(os.path.join(dim, f"_band={b}", "data.txt")) as f:
+                    assert f.read() == content, (b, states)

@@ -123,3 +123,110 @@ def test_incremental_load_completeness(spark, split, overlap):
         | ({-1} if split == 0 else set())
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming sink crash/split convergence (round-4: generative treatment of
+# the machinery the hand-written streaming tests exercise pointwise)
+# ---------------------------------------------------------------------------
+
+# one event: (user, day, hour, type, value) — tight domains force duplicate
+# timestamps, same-day flapping, day straddles, and late stragglers
+_event_st = st.tuples(
+    st.integers(1, 2),
+    st.integers(1, 3),
+    st.integers(0, 2),
+    st.sampled_from(["a", "b"]),
+    st.sampled_from([1.0, 2.0]),
+)
+
+
+@st.composite
+def _sink_scenario(draw):
+    batches = draw(
+        st.lists(
+            st.lists(_event_st, min_size=1, max_size=4), min_size=1, max_size=3
+        )
+    )
+    crashes = draw(
+        st.lists(
+            st.sampled_from(["none", "redeliver", "tear"]),
+            min_size=len(batches),
+            max_size=len(batches),
+        )
+    )
+    return batches, crashes
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(scenario=_sink_scenario())
+@example(
+    scenario=(
+        # day 1 split across two batches with a duplicate timestamp, then a
+        # day-2 batch carrying a day-1 straggler, with a torn swap and a
+        # re-delivery injected
+        [
+            [(1, 1, 0, "a", 1.0), (1, 1, 0, "b", 2.0)],
+            [(1, 1, 1, "a", 1.0), (2, 2, 0, "b", 1.0)],
+            [(2, 2, 1, "a", 2.0), (1, 1, 2, "b", 1.0)],
+        ],
+        ["tear", "redeliver", "tear"],
+    )
+)
+def test_scd2_sink_converges_under_any_split_and_crash(spark, tmp_path_factory, scenario):
+    """For ANY split of events into micro-batches — day-straddling,
+    duplicate-timestamp, event-time-regressing — with re-deliveries and
+    torn swaps injected after every barrier, the reconcile-policy sink must
+    land on exactly the change-log rebuild of the full event set."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F2
+
+    from t20_database_etl_pipeline_assignment_spark.streaming.scd2_sink import (
+        recover_dim,
+        scd2_daily_fold_spec,
+        scd2_stream_sink,
+    )
+
+    batches, crashes = scenario
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    eid = 0
+    dfs, all_rows = [], []
+    for b in batches:
+        rows = []
+        for user, day, hour, etype, val in b:
+            rows.append((eid, dt.datetime(2024, 1, day, hour), user, etype, val))
+            eid += 1
+        dfs.append(spark.createDataFrame(rows, schema))
+        all_rows.extend(rows)
+
+    dim = str(tmp_path_factory.mktemp("scd2prop") / f"dim_{uuid.uuid4().hex[:8]}")
+    sink = scd2_stream_sink(
+        dim, ["user_id"], ["event_type", "value"], late_policy="reconcile"
+    )
+    for i, (b, crash) in enumerate(zip(dfs, crashes)):
+        sink(b, i)
+        if crash == "redeliver":
+            sink(b, i)  # at-least-once re-delivery: must skip, not refold
+        elif crash == "tear":
+            # crash between the two publish renames: live dir gone
+            os.rename(dim, dim + ".old")
+    recover_dim(dim)
+
+    got = sorted(
+        spark.read.parquet(dim)
+        .select("user_id", "event_type", "value",
+                "effective_from", "effective_to", "is_current")
+        .collect(),
+        key=lambda r: (r.user_id, r.effective_from),
+    )
+    want = sorted(
+        scd2_daily_fold_spec(spark.createDataFrame(all_rows, schema))
+        .withColumn("effective_from", F2.col("effective_from").cast("timestamp"))
+        .withColumn("effective_to", F2.col("effective_to").cast("timestamp"))
+        .collect(),
+        key=lambda r: (r.user_id, r.effective_from),
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert sink.skipped == [i for i, c in enumerate(crashes) if c == "redeliver"]
