@@ -8,13 +8,17 @@ harness missed and the driver's own session exposed. Anything that passes
 here passes the driver.
 
 Usage:
-    python tools/drive_contract.py [sf_dir] [qid ...]
+    python tools/drive_contract.py [--json out.json] [sf_dir] [qid ...]
 Defaults: sf_dir=/root/testdata/sf0.01, all queries.
 Exit code 0 iff every checked query matches its oracle by row count and
 order-insensitive value hash (repr-level equality => bit-exact).
+--json writes the per-query results as an auditable artifact (committed
+each round as CONTRACT_rN.json so the full-surface result is a checked-in
+record, not a transcript claim).
 """
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -46,8 +50,14 @@ def canon(pdf: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:]
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    only = args[1:]
 
     # startup-only: drop index-cache trees of previous fixture generations
     from t20_database_etl_pipeline_assignment_spark.sources.staging import (
@@ -71,6 +81,7 @@ def main() -> int:
     oracles = ep.oracle_sql()
     qids = only or list(queries)
     fails: list[str] = []
+    records: dict[str, dict] = {}
     t_all = time.time()
     for qid in qids:
         t0 = time.time()
@@ -85,13 +96,34 @@ def main() -> int:
             con.close()
             if len(spdf) == len(opdf) and canon(spdf) == canon(opdf):
                 print(f"OK   {qid}: {len(spdf)} rows ({time.time() - t0:.1f}s)", flush=True)
+                records[qid] = {"status": "ok", "rows": len(spdf),
+                                "sec": round(time.time() - t0, 1)}
             else:
                 fails.append(qid)
                 print(f"FAIL {qid}: rows {len(spdf)} vs {len(opdf)}", flush=True)
+                records[qid] = {"status": "fail", "rows": len(spdf),
+                                "oracle_rows": len(opdf)}
         except Exception as ex:  # noqa: BLE001 — report and continue
             fails.append(qid)
             print(f"FAIL {qid}: {type(ex).__name__}: {str(ex)[:200]}", flush=True)
+            records[qid] = {"status": "err",
+                            "error": f"{type(ex).__name__}: {str(ex)[:200]}"}
 
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf,
+                    "n_queries": len(qids),
+                    "n_passed": len(qids) - len(fails),
+                    "fails": fails,
+                    "total_sec": round(time.time() - t_all, 1),
+                    "queries": records,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     print(
         f"\n{len(qids) - len(fails)}/{len(qids)} passed in {time.time() - t_all:.0f}s; "
         f"fails: {fails}",
