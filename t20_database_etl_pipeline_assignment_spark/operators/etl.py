@@ -868,3 +868,65 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(view(o_new, c_new, bcast_left=True))
     )
     return delta
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply_log — op-coded change-data-capture compaction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_apply_log",
+    oracle="""
+WITH log AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events),
+last AS (
+  SELECT * FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+    FROM log) WHERE rn = 1)
+SELECT user_id, value, ts AS updated_at, CAST(n_ops AS BIGINT) AS n_ops
+FROM last WHERE op = 'U'
+""",
+)
+def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (the Debezium-style snapshot build the reference's
+    incremental-load + upsert declarations imply, reference README.md:4,6):
+    an op-coded change stream (upserts + deletes — here `error` events play
+    the delete op) collapses to current state by last-op-wins per key, with
+    deleted keys dropped and an audit count of ops folded per key.
+    Generalizes merge_upsert from two-relation merge to an arbitrary-depth
+    op log.
+
+    One shuffle total: the row_number and the per-key op count share the
+    same user_id window partitioning, and last-op-wins is the standard
+    per-key argmax (ts, then event_id for same-timestamp determinism). At
+    100 TB the log would be partition-pruned by ingest date first; the
+    compaction itself is linear and key-local."""
+    log = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    wp = Window.partitionBy("user_id")
+    last = (
+        log.select(
+            "*",
+            F.row_number()
+            .over(wp.orderBy(F.desc("ts"), F.desc("event_id")))
+            .alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n_ops"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return last.filter(F.col("op") == "U").select(
+        "user_id", "value", F.col("ts").alias("updated_at"), "n_ops"
+    )

@@ -408,3 +408,183 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1.0) * F.sum("n_transitions").over(w_tot))
         ).alias("p_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# attribution_last_touch
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86_400_000_000  # 7-day attribution window
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 5 AS channel,
+         value
+  FROM events WHERE event_type IN ('click', 'purchase')),
+seq AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN kind = 0 THEN us END IGNORE NULLS) OVER w
+           AS click_us,
+         LAST_VALUE(CASE WHEN kind = 0 THEN channel END IGNORE NULLS) OVER w
+           AS click_channel
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT CASE WHEN click_us IS NOT NULL AND us - click_us <= {_ATTR_WINDOW_US}
+            THEN click_channel ELSE -1 END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {sql_money_sum("value")} AS revenue
+FROM seq WHERE kind = 1
+GROUP BY 1
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the same
+    user's most recent click within a 7-day window (channel = the click's
+    campaign id parsed from props, k mod 5); purchases with no qualifying
+    click land in channel -1 so totals reconcile. Revenue is the exact
+    integer-cents sum.
+
+    Scale shape (same family as join_asof_tolerance): clicks and purchases
+    union into ONE ordered log and a single running last(ignorenulls)
+    window per user recovers the latest prior click — one shuffle on
+    user_id, no range join, no per-purchase probe, histories of any length.
+    Same-microsecond click+purchase resolves deterministically (kind sorts
+    clicks first, event_id breaks exact ties) in both engines."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    base = e.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("us"),
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+        (
+            F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("long")
+            % F.lit(5)
+        ).alias("channel"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = base.select(
+        "*",
+        F.last(F.when(F.col("kind") == 0, F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("click_us"),
+        F.last(F.when(F.col("kind") == 0, F.col("channel")), ignorenulls=True)
+        .over(w)
+        .alias("click_channel"),
+    )
+    return (
+        seq.filter(F.col("kind") == 1)
+        .select(
+            F.when(
+                F.col("click_us").isNotNull()
+                & ((F.col("us") - F.col("click_us")) <= _ATTR_WINDOW_US),
+                F.col("click_channel"),
+            )
+            .otherwise(F.lit(-1))
+            .alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            money_sum(F.col("value")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv_cumulative
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_ltv_cumulative",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+         {sql_scaled_long("o_totalprice", 100)} AS cents
+  FROM orders),
+cohort AS (SELECT o_custkey, MIN(m) AS cm FROM o GROUP BY 1),
+sizes AS (SELECT cm, COUNT(*) AS cohort_size FROM cohort GROUP BY 1),
+rev AS (
+  SELECT c.cm AS cohort_month,
+         CAST(12 * (year(o.m) - year(c.cm)) + (month(o.m) - month(c.cm))
+              AS BIGINT) AS month_offset,
+         SUM(o.cents) AS rev_cents
+  FROM o JOIN cohort c ON o.o_custkey = c.o_custkey
+  GROUP BY 1, 2)
+SELECT r.cohort_month, r.month_offset, s.cohort_size,
+       CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_month
+                                   ORDER BY r.month_offset) AS BIGINT)
+         / 100.0 AS ltv_cum,
+       CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_month
+                                   ORDER BY r.month_offset) AS BIGINT)
+         / (100.0 * s.cohort_size) AS ltv_cum_per_customer
+FROM rev r JOIN sizes s ON r.cohort_month = s.cm
+""",
+)
+def cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative cohort LTV: customers grouped by first-order month, then
+    cumulative revenue (total and per cohort member) by month offset — the
+    curve a growth team reads payback periods off. Offsets are pure integer
+    calendar arithmetic and revenue is exact integer cents, so the running
+    sums are bit-identical in both engines; the only float ops are the two
+    final divisions of the same integers.
+
+    Scale: orders and per-customer cohorts shuffle once on o_custkey
+    (co-located join), the offset rollup shuffles the tiny (cohort, offset)
+    key, the cumulative window runs inside each cohort partition, and
+    cohort sizes broadcast back. The event log itself is never windowed."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        scaled_long(F.col("o_totalprice"), 100).alias("cents"),
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    sizes = cohort.groupBy("cm").agg(F.count(F.lit(1)).alias("cohort_size"))
+    rev = (
+        o.join(cohort, "o_custkey")
+        .groupBy(
+            F.col("cm").alias("cohort_month"),
+            (
+                F.lit(12) * (F.year("m") - F.year("cm"))
+                + (F.month("m") - F.month("cm"))
+            )
+            .cast("long")
+            .alias("month_offset"),
+        )
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(
+            F.broadcast(sizes), rev["cohort_month"] == sizes["cm"]
+        )
+        .select(
+            "cohort_month",
+            "month_offset",
+            "cohort_size",
+            (F.sum("rev_cents").over(w).cast("long") / F.lit(100.0)).alias("ltv_cum"),
+            (
+                F.sum("rev_cents").over(w).cast("long")
+                / (F.lit(100.0) * F.col("cohort_size"))
+            ).alias("ltv_cum_per_customer"),
+        )
+    )
