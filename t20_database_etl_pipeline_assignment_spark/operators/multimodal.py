@@ -6,7 +6,8 @@ The container has no compressed-codec libraries (no libjpeg/ffmpeg), so
 decode is implemented pure-Python for the public formats that need none:
 PPM (P6), 24-bit BMP, and PNG (DEFLATE is stdlib `zlib`; 8-bit
 gray/RGB/RGBA with full scanline-filter reconstruction) for images,
-YUV4MPEG2 (y4m) for video frame sampling. Everything Spark-side is real and tested: payload schema,
+YUV4MPEG2 (y4m) for video frame sampling, RIFF/WAVE integer PCM for
+audio. Everything Spark-side is real and tested: payload schema,
 batch iteration shape, partition-preserving plumbing, and a feature
 extractor whose output is oracle-checkable (sha256/length/header bytes are
 codec-independent). A deployment with real codecs swaps the decoder body;
@@ -125,6 +126,74 @@ def _decode_bmp24(data: bytes):
     rows = np.frombuffer(data, np.uint8, count=stride * h, offset=pixel_off)
     px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
     return (px[::-1] if bottom_up else px).copy()
+
+
+def decode_audio_wav(payload: bytes):
+    """Decode a RIFF/WAVE PCM payload to (sample_rate, (n_frames, channels)
+    int16 numpy array). Pure-Python for the codec-free classic: integer PCM,
+    8-bit (unsigned, rescaled to int16) or 16-bit (little-endian signed).
+    Raises ValueError on compressed formats (MP3/AAC need codec libraries
+    this container doesn't ship). Walks RIFF chunks properly, so extra
+    chunks (LIST, fact, cue) before/after fmt/data parse fine."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, ln = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError("only integer PCM WAV (8/16-bit) supported")
+    if bits == 16:
+        samples = np.frombuffer(data, "<i2", count=len(data) // 2)
+    else:  # 8-bit WAV is unsigned; center and rescale to int16 range
+        samples = ((np.frombuffer(data, np.uint8).astype(np.int16) - 128) << 8)
+    frames = len(samples) // channels
+    return rate, samples[: frames * channels].reshape(frames, channels)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate long, n_frames long, channels long, "
+    "duration_ms long, peak long, rms long"
+)
+
+
+def extract_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched audio feature extraction over WAV binary payloads:
+    rate/frames/channels from the real decoder plus integer peak and RMS
+    (floor of the exact root-mean-square — deterministic, no float
+    accumulation order dependence: the sum of squares is exact int64).
+    Same constant-memory mapInPandas shape as the image/video kernels."""
+    import math
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "sample_rate", "n_frames", "channels", "duration_ms",
+            "peak", "rms")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, frames = decode_audio_wav(bytes(payload))
+            n, ch = frames.shape
+            flat = frames.astype("int64").ravel()
+            sumsq = int((flat * flat).sum())
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(rate)
+            out["n_frames"].append(n)
+            out["channels"].append(ch)
+            out["duration_ms"].append(n * 1000 // rate if rate else 0)
+            out["peak"].append(int(abs(flat).max()) if len(flat) else 0)
+            out["rms"].append(math.isqrt(sumsq // len(flat)) if len(flat) else 0)
+        yield pd.DataFrame(out)
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"

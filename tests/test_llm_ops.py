@@ -600,3 +600,61 @@ def test_decoders_reject_malformed_inputs_without_hanging():
         sample_video_frames(head + b"FRAME\n" + bytes(16))
     with _pytest.raises(ValueError, match="chroma"):
         sample_video_frames(b"YUV4MPEG2 W4 H4 C411\nFRAME\n" + bytes(24))
+
+
+def _wav(samples, rate=8000, bits=16, extra_chunk=True) -> bytes:
+    """Hand-rolled RIFF/WAVE PCM encoder (test oracle). `samples` is a list
+    of per-frame tuples (one int per channel)."""
+    import struct
+
+    ch = len(samples[0])
+    if bits == 16:
+        data = b"".join(struct.pack("<" + "h" * ch, *f) for f in samples)
+    else:
+        data = bytes((s >> 8) + 128 & 0xFF for f in samples for s in f)
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                      ch * bits // 8, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # LIST chunk with odd length: exercises chunk padding
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_audio_wav_and_features(spark):
+    import numpy as np
+
+    from t20_database_etl_pipeline_assignment_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+        decode_audio_wav,
+        extract_audio_features,
+    )
+
+    stereo = [(i * 100 - 800, -(i * 50)) for i in range(16)]
+    rate, frames = decode_audio_wav(_wav(stereo, rate=8000, bits=16))
+    assert rate == 8000 and frames.shape == (16, 2)
+    assert frames.dtype == np.int16
+    assert [tuple(f) for f in frames] == stereo
+
+    mono = [(s,) for s in (-32768, -256, 0, 256, 32512)]
+    rate8, frames8 = decode_audio_wav(_wav(mono, rate=4000, bits=8))
+    # 8-bit round-trips through unsigned bytes: quantized to 256 steps
+    assert rate8 == 4000 and frames8.shape == (5, 1)
+    assert [int(f[0]) for f in frames8] == [-32768, -256, 0, 256, 32512]
+
+    with pytest.raises(ValueError):
+        decode_audio_wav(b"ID3\x04...mp3 payload")
+
+    # through the Spark mapInPandas shape, with exact integer RMS/peak
+    payloads = [(i, _wav([(j * (i + 1),) for j in range(-4, 5)]))
+                for i in range(3)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in
+           df.mapInPandas(extract_audio_features, AUDIO_SCHEMA).collect()}
+    import math
+    for i, _ in payloads:
+        vals = [j * (i + 1) for j in range(-4, 5)]
+        assert got[i].n_frames == 9 and got[i].channels == 1
+        assert got[i].peak == max(abs(v) for v in vals)
+        assert got[i].rms == math.isqrt(sum(v * v for v in vals) // len(vals))
+        assert got[i].duration_ms == 9 * 1000 // 8000
