@@ -588,3 +588,172 @@ def cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_cum_per_customer"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling_active_users — trailing-window DAU/WAU engagement
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "rolling_active_users",
+    oracle=f"""
+WITH daily AS (
+  SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) // {_DAY_US} AS d
+  FROM events),
+days AS (SELECT DISTINCT d FROM daily),
+contrib AS (
+  SELECT DISTINCT da.user_id, da.d + i AS target
+  FROM daily da CROSS JOIN unnest(range(0, 7)) AS t(i)),
+wau AS (
+  SELECT c.target AS d, COUNT(DISTINCT c.user_id) AS wau
+  FROM contrib c JOIN days dy ON c.target = dy.d
+  GROUP BY 1),
+dau AS (SELECT d, COUNT(*) AS dau FROM daily GROUP BY d)
+SELECT CAST(to_timestamp((dau.d * {_DAY_US}) / 1000000) AS TIMESTAMP) AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       dau.dau / (1.0 * wau.wau) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+""",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day engagement: per active day, DAU, WAU (distinct users
+    active in the trailing 7 days), and the DAU/WAU stickiness ratio.
+
+    The trailing window is NOT a range join: each (user, day) contributes
+    to exactly 7 target days via a bounded explode, turning the rolling
+    distinct into an equi-keyed distinct + count — partial-aggregable,
+    co-partitioned, and linear in activity rows at any history length
+    (the standard rolling-distinct formulation when exact counts are
+    required; the sketch tier swaps count_distinct for HLL union). The
+    stickiness division is int/int in both engines."""
+    e = table(spark, sf_dir, "events")
+    day_us = sql_spark_epoch_us("date_trunc('day', ts)")
+    daily = e.select(
+        "user_id",
+        F.expr(f"({day_us}) div {_DAY_US}").alias("d"),
+    ).distinct()
+    days = daily.select("d").distinct()
+    contrib = (
+        daily.select(
+            "user_id",
+            "d",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        )
+        .select("user_id", (F.col("d") + F.col("i")).alias("target"))
+        .distinct()
+        .join(days.withColumnRenamed("d", "target"), "target")
+    )
+    wau = contrib.groupBy(F.col("target").alias("d")).agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    dau = daily.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "d").select(
+        ntz_from_us(F.col("d") * _DAY_US).alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        (F.col("dau") / (F.lit(1.0) * F.col("wau"))).alias("stickiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# user_lifecycle_weekly — growth accounting (new/retained/resurrected/churned)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_lifecycle_weekly",
+    oracle=f"""
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) // {_WEEK_US} AS wk
+  FROM events),
+bounds AS (SELECT MAX(wk) AS max_wk FROM act),
+seq AS (
+  SELECT user_id, wk,
+         LAG(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+         LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+  FROM act),
+states AS (
+  SELECT wk,
+         CASE WHEN prev_wk IS NULL THEN 'new'
+              WHEN wk - prev_wk = 1 THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM seq),
+churn AS (
+  SELECT s.wk + 1 AS wk, 'churned' AS state
+  FROM seq s, bounds b
+  WHERE (s.next_wk IS NULL AND s.wk < b.max_wk) OR s.next_wk - s.wk > 1),
+allrows AS (SELECT wk, state FROM states UNION ALL SELECT wk, state FROM churn)
+SELECT CAST(to_timestamp((wk * {_WEEK_US}) / 1000000) AS TIMESTAMP) AS week,
+       CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       CAST(SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+FROM allrows
+GROUP BY wk
+""",
+)
+def user_lifecycle_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per week, how many users are new (first-ever
+    activity), retained (active previous week too), resurrected (returning
+    after a gap), and churned (active previous week, absent this week —
+    attributed to the week the user went missing, bounded by the last
+    observed week so the open frontier never counts as churn).
+
+    Weeks are exact integer indexes (epoch_us // week), so every state
+    test is pure integer algebra — bit-identical across engines. One
+    user-keyed window over the distinct (user, week) activity relation
+    derives all four states (lag for new/retained/resurrected, lead for
+    churn events); the final rollup shuffles only (week, state) counts.
+    The global max week is a 1-row broadcast (reviewed BNLJ)."""
+    e = table(spark, sf_dir, "events")
+    week_us = sql_spark_epoch_us("date_trunc('week', ts)")
+    act = e.select(
+        "user_id",
+        F.expr(f"({week_us}) div {_WEEK_US}").alias("wk"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = act.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    states = seq.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), F.lit("new"))
+        .when(F.col("wk") - F.col("prev_wk") == 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("state"),
+    )
+    bounds = act.agg(F.max("wk").alias("max_wk"))
+    churn = (
+        seq.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("next_wk").isNull() & (F.col("wk") < F.col("max_wk")))
+            | (F.col("next_wk") - F.col("wk") > 1)
+        )
+        .select((F.col("wk") + 1).alias("wk"), F.lit("churned").alias("state"))
+    )
+    allrows = states.unionByName(churn)
+    return allrows.groupBy("wk").agg(
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0)).cast("long").alias("n_new"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+        F.sum(F.when(F.col("state") == "churned", 1).otherwise(0))
+        .cast("long")
+        .alias("n_churned"),
+    ).select(
+        ntz_from_us(F.col("wk") * _WEEK_US).alias("week"),
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_churned",
+    )

@@ -147,6 +147,7 @@ _BNLJ_ALLOWED = {
     "zorder_cluster_audit",  # 1-row min/max-stats broadcast (grid normalization)
     "market_basket_pairs",   # 1-row order-count broadcast (support denominator)
     "stream_scd2_late_reconcile",  # 1-row head-day broadcast
+    "user_lifecycle_weekly",  # 1-row max-week broadcast (churn frontier)
 }
 _PY_ROW_ALLOWED = {"udf_python_scalar", "udtf_explode_custom"}  # §2.K escape hatches
 # Queries allowed an unbounded global sort (none expected; review any addition)
