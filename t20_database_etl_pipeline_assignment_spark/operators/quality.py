@@ -702,3 +702,130 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# privacy_k_anonymity — quasi-identifier group-size audit
+# ---------------------------------------------------------------------------
+
+_K_THRESHOLD = 5
+_BAL_BUCKET = 1000  # sensitive-attribute bucket width (acctbal dollars)
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS k,
+         COUNT(DISTINCT {sql_scaled_long("c_acctbal", 100)} // {_BAL_BUCKET * 100})
+           AS l_diversity
+  FROM customer
+  GROUP BY 1, 2)
+SELECT c_nationkey, c_mktsegment,
+       CAST(k AS BIGINT) AS k,
+       CAST(l_diversity AS BIGINT) AS l_diversity,
+       k < {_K_THRESHOLD} AS below_k
+FROM g
+""",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit: for the quasi-identifier set
+    (nation, market segment), the k-anonymity group size and the
+    l-diversity of the bucketed sensitive attribute (account balance in
+    $1000 bands), flagging groups below k=5 — the table a governance
+    review reads before any record-level export or training-data release.
+
+    One partial-aggregable groupBy on the quasi-identifier key; the
+    sensitive bucket is exact integer arithmetic (scaled cents, integer
+    div), so counts and the below-k flag are bit-identical across
+    engines. At 100 TB the quasi-identifier cardinality, not the row
+    count, bounds the result."""
+    c = table(spark, sf_dir, "customer")
+    bucket = F.expr(
+        f"({sql_scaled_long('c_acctbal', 100)}) div {_BAL_BUCKET * 100}"
+    )
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.count_distinct(bucket).cast("long").alias("l_diversity"),
+        )
+        .withColumn("below_k", F.col("k") < _K_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_expectation_report — declarative expectation suite in one scan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_expectation_report",
+    oracle=f"""
+WITH m AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+         SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+           AS qty_out_of_range,
+         SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END)
+           AS disc_out_of_range,
+         SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END)
+           AS bad_returnflag,
+         COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk
+  FROM lineitem)
+SELECT rule, CAST(observed AS BIGINT) AS observed,
+       CAST(n_rows AS BIGINT) AS n_rows, observed = 0 AS passed
+FROM m
+UNPIVOT (observed FOR rule IN (null_qty, qty_out_of_range,
+                               disc_out_of_range, bad_returnflag, dup_pk))
+""",
+)
+def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the aggregate
+    counterpart of dq_quarantine's row routing — what a
+    Great-Expectations-style checkpoint publishes): completeness, range,
+    domain, and primary-key-uniqueness expectations over lineitem,
+    evaluated in ONE scan as conditional counts and reported one row per
+    rule with the violation count and pass flag.
+
+    All metrics are exact integer counts from a single partial-aggregable
+    pass (the PK check adds one distinct over the key pair); the unpivot
+    reshapes the 1-row metric vector, so nothing bigger than the rule
+    list ever moves after the scan. At 100 TB this is the cheapest shape
+    a full-table DQ sweep can take: no joins, no second scan per rule."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
+        F.sum(
+            F.when(F.col("l_quantity").between(1, 50), 0).otherwise(1)
+        ).alias("qty_out_of_range"),
+        F.sum(
+            F.when(F.col("l_discount").between(0.0, 0.1), 0).otherwise(1)
+        ).alias("disc_out_of_range"),
+        F.sum(
+            F.when(F.col("l_returnflag").isin("A", "N", "R"), 0).otherwise(1)
+        ).alias("bad_returnflag"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("dup_pk"),
+    )
+    rules = ["null_qty", "qty_out_of_range", "disc_out_of_range",
+             "bad_returnflag", "dup_pk"]
+    stacked = m.select(
+        "n_rows",
+        F.expr(
+            "stack({n}, {args}) as (rule, observed)".format(
+                n=len(rules),
+                args=", ".join(f"'{r}', {r}" for r in rules),
+            )
+        ),
+    )
+    return stacked.select(
+        "rule",
+        F.col("observed").cast("long").alias("observed"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("observed") == 0).alias("passed"),
+    )
