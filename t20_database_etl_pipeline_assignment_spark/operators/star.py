@@ -272,3 +272,41 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+@query(
+    "sql_correlated_scalar_subquery",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders)
+SELECT c.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_above
+FROM o c
+WHERE c.cents * (SELECT COUNT(*) FROM o i WHERE i.o_custkey = c.o_custkey)
+      > (SELECT SUM(cents) FROM o i WHERE i.o_custkey = c.o_custkey)
+GROUP BY c.o_custkey
+""",
+)
+def sql_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subqueries — the remaining subquery shape after
+    EXISTS (sql_exists_subquery): each order compared to its own
+    customer's average price, written as two correlated aggregates that
+    Catalyst decorrelates into grouped joins (never a per-row re-scan).
+    The average test is integer cross-multiplication (cents·n > Σcents),
+    so the answer is bit-exact in both engines with no float division.
+    Identical SQL text runs on DuckDB as the oracle — proving the text
+    surface, not just the DSL, gets the decorrelated scale plan."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH o AS (
+          SELECT o_custkey,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM v_orders)
+        SELECT c.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_above
+        FROM o c
+        WHERE c.cents * (SELECT COUNT(*) FROM o i WHERE i.o_custkey = c.o_custkey)
+              > (SELECT SUM(cents) FROM o i WHERE i.o_custkey = c.o_custkey)
+        GROUP BY c.o_custkey
+        """
+    )

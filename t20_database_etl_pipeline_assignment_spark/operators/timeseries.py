@@ -757,3 +757,99 @@ def user_lifecycle_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_resurrected",
         "n_churned",
     )
+
+
+# ---------------------------------------------------------------------------
+# time_to_conversion — forward as-of latency per campaign channel
+# ---------------------------------------------------------------------------
+
+_CONV_WINDOW_US = 3 * 86_400_000_000  # 3-day conversion window
+
+
+@query(
+    "time_to_conversion",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 5 AS channel
+  FROM events WHERE event_type IN ('click', 'purchase')),
+seq AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN kind = 0 THEN us END IGNORE NULLS) OVER w
+           AS next_purchase_us
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us DESC, kind ASC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+clicks AS (
+  SELECT channel,
+         next_purchase_us IS NOT NULL
+           AND next_purchase_us - us <= {_CONV_WINDOW_US} AS converted,
+         next_purchase_us - us AS latency_us
+  FROM seq WHERE kind = 1)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN converted THEN latency_us ELSE 0 END) AS BIGINT)
+         AS sum_latency_us,
+       MAX(CASE WHEN converted THEN latency_us END) AS max_latency_us
+FROM clicks
+GROUP BY channel
+""",
+)
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of conversion latency: for every click, the same user's
+    NEXT purchase at-or-after it; per campaign channel, click count,
+    conversions inside a 3-day window, and exact integer latency sums —
+    the attribution_last_touch mirror image (forward instead of backward).
+
+    Same union-log shape: one window per user traversed in REVERSE event
+    order, so a running last(ignorenulls) of purchases yields each
+    click's next purchase — one shuffle, no range join, no per-click
+    probe. Same-microsecond purchase+click pairs resolve deterministically
+    (purchase sorts first in the reverse traversal, event_id breaks exact
+    ties) in both engines; every output metric is integer."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    base = e.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("us"),
+        F.when(F.col("event_type") == "purchase", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("kind"),
+        (
+            F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("long")
+            % F.lit(5)
+        ).alias("channel"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("us"), F.asc("kind"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = base.select(
+        "*",
+        F.last(F.when(F.col("kind") == 0, F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("next_purchase_us"),
+    )
+    clicks = seq.filter(F.col("kind") == 1).select(
+        "channel",
+        (
+            F.col("next_purchase_us").isNotNull()
+            & ((F.col("next_purchase_us") - F.col("us")) <= _CONV_WINDOW_US)
+        ).alias("converted"),
+        (F.col("next_purchase_us") - F.col("us")).alias("latency_us"),
+    )
+    return clicks.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+        F.sum(F.when(F.col("converted"), F.col("latency_us")).otherwise(0))
+        .cast("long")
+        .alias("sum_latency_us"),
+        F.max(F.when(F.col("converted"), F.col("latency_us"))).alias("max_latency_us"),
+    )
