@@ -13,6 +13,7 @@ from . import exprs, pipeline, registry, session  # noqa: F401
 from .plans import inspect as plan_inspect  # noqa: F401
 from .sources import tables  # noqa: F401
 from .functions import scalar  # noqa: F401
+from .streaming import cdc_sink as stream_cdc  # noqa: F401
 from .streaming import scd2_sink as stream_scd2  # noqa: F401
 from .streaming import windows as stream_windows  # noqa: F401
 

@@ -732,3 +732,58 @@ def test_stateful_cusum_ignores_uncalibrated_types(spark, sf_dir):
     ).collect()
     assert {r.event_type for r in out} == {"click"}
     assert all(r.n_events > 0 for r in out)
+
+
+def test_cdc_sink_out_of_order_crash_exactly_once(spark, tmp_path):
+    """The CDC compaction sink: last-op-wins per key is associative, so
+    out-of-order batches, same-timestamp tie-breaks split across batches,
+    torn swaps, and re-deliveries all converge to the global argmax state;
+    tombstones persist so an older out-of-order upsert can never resurrect
+    a deleted key."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from t20_database_etl_pipeline_assignment_spark.streaming.cdc_sink import (
+        cdc_live_view,
+        cdc_stream_sink,
+    )
+    from t20_database_etl_pipeline_assignment_spark.streaming.scd2_sink import (
+        recover_dim,
+    )
+
+    d = lambda n, h=0: dt.datetime(2024, 1, n, h)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, op string, value double"
+    b0 = spark.createDataFrame(
+        [(1, d(1), 1, "U", 1.0), (2, d(1), 2, "U", 2.0),
+         (10, d(1, 5), 4, "U", 5.0)],
+        schema,
+    )
+    b1 = spark.createDataFrame(  # day 3 arrives before day 2
+        [(3, d(3), 1, "D", 0.0), (4, d(3), 3, "U", 3.0)], schema
+    )
+    b2 = spark.createDataFrame(  # out-of-order day 2 + same-ts tie for u4
+        [(5, d(2), 1, "U", 9.0),   # older than u1's day-3 delete: no resurrect
+         (6, d(2), 2, "D", 0.0),
+         (11, d(1, 5), 4, "D", 0.0)],  # same ts as event 10, higher id: D wins
+        schema,
+    )
+    state = str(tmp_path / "cdc_state")
+    sink = cdc_stream_sink(state, "user_id", ["value"], ts_col="ts",
+                           tiebreak="event_id", op_col="op")
+    sink(b0, 0)
+    assert {r.user_id for r in cdc_live_view(spark, state).collect()} == {1, 2, 4}
+    sink(b1, 1)
+    os.rename(state, state + ".old")  # torn swap
+    recover_dim(state)
+    sink(b1, 1)  # re-delivery after recovery: must skip
+    assert sink.skipped == [1]
+    assert {r.user_id for r in cdc_live_view(spark, state).collect()} == {2, 3, 4}
+    sink(b2, 2)
+    live = {r.user_id: r.value for r in cdc_live_view(spark, state).collect()}
+    assert live == {3: 3.0}
+    # tombstones retained in raw state (out-of-order protection)
+    raw = spark.read.parquet(state)
+    assert {r.user_id for r in raw.filter(F2.col("op") == "D").collect()} == {1, 2, 4}
+    assert sink.applied == [0, 1, 2]
