@@ -2541,3 +2541,111 @@ def containment_bottomk(
             "k_used",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_similarity_histogram — within-label cosine distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_similarity_histogram",
+    oracle=f"""
+SELECT a.label,
+       CAST(FLOOR(round({SQL_COSINE.format(a='a.embedding', b='b.embedding')},
+                        6) * 10) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+GROUP BY 1, 2
+""",
+)
+def emb_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The within-label cosine-similarity distribution, bucketed at 0.1
+    granularity — the calibration table read before choosing dedup/ANN
+    thresholds (where does the near-dup mass actually sit?). Buckets come
+    from the same bit-exact pair kernel as the threshold/dedup operators
+    (round to 1e-6 first, identical in both engines, so bucket edges can
+    never straddle): blocked within-label pairing, never global all-pairs.
+    Output is the tiny (label × 21-bucket) matrix."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    pairs = _pairwise_cosine_grouped(e, tau=-1.1)
+    return (
+        pairs.select(
+            "label",
+            F.floor(F.round(F.col("sim_raw"), 6) * 10).cast("long").alias("bucket"),
+        )
+        .groupBy("label", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_training_windows — fixed-length stride windows for LM training
+# ---------------------------------------------------------------------------
+
+_WIN_TOKENS = 32
+_WIN_STRIDE = 16
+
+
+@query(
+    "text_training_windows",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS win_idx,
+         array_to_string(list_slice(t, i * {_WIN_STRIDE} + 1,
+                                    i * {_WIN_STRIDE} + {_WIN_TOKENS}), ' ')
+           AS win_text
+  FROM toks
+  CROSS JOIN unnest(range(0, CASE WHEN n >= {_WIN_TOKENS}
+                                  THEN (n - {_WIN_TOKENS}) // {_WIN_STRIDE} + 1
+                                  ELSE 0 END)) AS u(i))
+SELECT doc_id, win_idx, md5(win_text) AS win_md5
+FROM w
+""",
+)
+def text_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length LM training-window extraction: each document's token
+    stream cut into {W}-token windows at stride {S} (overlapping context
+    windows, full windows only) — the slicing stage between tokenization
+    and sequence packing in a pretraining pipeline. Window content is
+    verified by md5 of the joined tokens, so the oracle checks the exact
+    slice boundaries, not just counts.
+
+    Pure JVM array ops: split once, explode a bounded per-doc index range
+    (⌊(n−W)/S⌋+1 windows), slice + hash inside codegen — no Python, no
+    shuffle at all until a consumer aggregates. At 100 TB this is a map-only
+    stage that composes with corpus_shuffle_shard for output sharding."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("t"),
+    ).withColumn("n", F.size("t"))
+    # sequence(0, -1) would yield [0, -1] (negative default step), so the
+    # short-doc case must produce an empty array, not a degenerate range
+    idxs = F.when(
+        F.col("n") >= _WIN_TOKENS,
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.expr(f"(n - {_WIN_TOKENS}) div {_WIN_STRIDE}"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    w = toks.select("doc_id", "t", F.explode(idxs).alias("win_idx"))
+    return w.select(
+        "doc_id",
+        F.col("win_idx").cast("long").alias("win_idx"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    (F.col("win_idx") * _WIN_STRIDE + 1).cast("int"),
+                    _WIN_TOKENS,
+                ),
+            )
+        ).alias("win_md5"),
+    )

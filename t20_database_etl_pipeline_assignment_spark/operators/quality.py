@@ -829,3 +829,36 @@ def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         (F.col("observed") == 0).alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_histogram — similarity-graph degree distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_degree_histogram",
+    oracle=f"""
+WITH {_SQL_JACCARD_GRAPH},
+deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+""",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup similarity graph — the shape
+    diagnostic read before picking a dedup strategy: a heavy tail (a few
+    hub documents similar to thousands) calls for degree-oriented joins
+    and salting, a flat distribution means the clone-pair fast path
+    suffices. Two partial-aggregable groupBys over the persisted
+    .index_cache graph artifact shared with components/PageRank/triangles
+    — built once, walked many times; nothing bigger than the degree
+    spectrum shuffles twice."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    sym = _cached_sym_graph(spark, sf_dir, docs)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    ).select(F.col("degree").cast("long").alias("degree"), "n_nodes")
