@@ -152,9 +152,13 @@ def decode_audio_wav(payload: bytes):
         pos += 8 + ln + (ln & 1)  # chunks pad to even length
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated WAV fmt chunk")
     audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if audio_fmt != 1 or bits not in (8, 16):
         raise ValueError("only integer PCM WAV (8/16-bit) supported")
+    if channels < 1:
+        raise ValueError("WAV fmt declares zero channels")
     if bits == 16:
         samples = np.frombuffer(data, "<i2", count=len(data) // 2)
     else:  # 8-bit WAV is unsigned; center and rescale to int16 range

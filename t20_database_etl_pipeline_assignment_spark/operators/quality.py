@@ -277,7 +277,7 @@ def cluster_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
-    sym = _cached_sym_graph(spark, sf_dir, docs)
+    sym = _cached_sym_graph(spark, sf_dir)
     edges = sym.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
@@ -344,8 +344,9 @@ def _star_contract(edges: DataFrame, max_iters: int = 40) -> tuple[DataFrame, in
     raise RuntimeError(f"star contraction did not converge in {max_iters} iterations")
 
 
-def _cached_sym_graph(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
-    """Symmetrized 3-gram-Jaccard ≥ 0.6 similarity graph over `docs`,
+def _cached_sym_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized 3-gram-Jaccard ≥ 0.6 similarity graph over the cloned
+    corpus (cloned_shingles),
     persisted as a per-fixture index (.index_cache) and shared by the
     clustering and link-analysis operators: built once by the dedup pass,
     walked many times."""
@@ -465,7 +466,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank vector checkpoints every few rounds to cut lineage."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
-    sym = _cached_sym_graph(spark, sf_dir, docs)
+    sym = _cached_sym_graph(spark, sf_dir)
 
     nodes = docs.select(F.col("doc_id").alias("node"))
     ntot = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -676,7 +677,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components and PageRank: built once, walked many times."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
-    sym = _cached_sym_graph(spark, sf_dir, docs)
+    sym = _cached_sym_graph(spark, sf_dir)
     e = sym.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
@@ -855,9 +856,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     .index_cache graph artifact shared with components/PageRank/triangles
     — built once, walked many times; nothing bigger than the degree
     spectrum shuffles twice."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
-    sym = _cached_sym_graph(spark, sf_dir, docs)
+    sym = _cached_sym_graph(spark, sf_dir)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")

@@ -166,29 +166,22 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
         last_day = st.get("last_day") if st is not None else None
         if st is not None and last_day is None:
             # Pre-sidecar publisher state (marker without 'last_day', no
-            # _snaphead dir): the folded head is unknown to the marker, so
-            # derive it from the published dimension itself — otherwise a
-            # repeated/split day on an upgraded-in-place dimension would
-            # silently skip both guards below and double-fold. A repeated
-            # head day can't be refolded without the sidecar's
-            # (ts, tiebreak), so that case fails loudly.
-            head = (
-                spark.read.parquet(dim_path)
-                .agg(F.max("effective_from").alias("h"))
-                .collect()[0]["h"]
+            # _snaphead dir): the folded head is UNKNOWABLE from the
+            # published dimension — a head day whose snapshot matched the
+            # previous state folds as a no-op and leaves no trace in
+            # effective_from, so max(effective_from) is only a LOWER bound
+            # on the true head and any derived ordering check could let a
+            # repeated/split day silently double-fold (exactly the bug the
+            # guards below exist to prevent). The only sound behavior is
+            # to fail loudly and route to an explicit rebuild.
+            raise ValueError(
+                f"scd2 stream sink: dimension at {dim_path} was published "
+                "by a pre-sidecar sink (state marker has no 'last_day'), "
+                "so the folded head cannot be determined and in-order "
+                "folding cannot be verified; rebuild the dimension via "
+                "scd2_rebuild_from_log (or re-publish it with this sink) "
+                "before resuming the stream"
             )
-            last_day = str(head) if head is not None else None
-            if (
-                last_day is not None
-                and str(days[0]) == last_day
-                and not os.path.isdir(os.path.join(dim_path, _SNAP_DIR))
-            ):
-                raise ValueError(
-                    f"scd2 stream sink: batch {batch_id} repeats head day "
-                    f"{last_day} of a pre-sidecar dimension (no {_SNAP_DIR} "
-                    "snapshot to refold from); rebuild via "
-                    "scd2_rebuild_from_log"
-                )
         late_days = (
             [d for d in all_days if str(d) < last_day] if last_day is not None else []
         )

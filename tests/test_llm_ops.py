@@ -644,6 +644,21 @@ def test_decode_audio_wav_and_features(spark):
 
     with pytest.raises(ValueError):
         decode_audio_wav(b"ID3\x04...mp3 payload")
+    # malformed fmt chunks: zero channels / truncated — ValueError, never
+    # ZeroDivisionError or struct.error escaping into the Spark worker
+    import struct as _struct
+
+    zero_ch = (b"RIFF" + _struct.pack("<I", 28) + b"WAVE"
+               + b"fmt " + _struct.pack("<I", 16)
+               + _struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+               + b"data" + _struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="zero channels"):
+        decode_audio_wav(zero_ch)
+    short_fmt = (b"RIFF" + _struct.pack("<I", 16) + b"WAVE"
+                 + b"fmt " + _struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+                 + b"data" + _struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
+        decode_audio_wav(short_fmt)
 
     # through the Spark mapInPandas shape, with exact integer RMS/peak
     payloads = [(i, _wav([(j * (i + 1),) for j in range(-4, 5)]))

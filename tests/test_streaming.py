@@ -661,11 +661,13 @@ def test_scd2_sink_late_day_reconciliation(spark, tmp_path):
 
 def test_scd2_sink_pre_sidecar_dim_guarded(spark, tmp_path):
     """A dimension published by the pre-sidecar sink (state marker without
-    'last_day', no _snaphead dir) must not silently skip the split-day /
-    regression guards: a repeated head day fails loudly (no snapshot to
-    refold from), an older day still trips the regression guard, and a
-    strictly newer day folds normally with the head derived from the
-    published dimension."""
+    'last_day', no _snaphead dir) must fail loudly on ANY fold attempt:
+    the true folded head is unknowable (a head day that folded as a no-op
+    leaves no trace in effective_from, so max(effective_from) is only a
+    lower bound), which means no ordering check can be verified — the
+    review of the first, derivation-based guard showed it silently
+    double-folds on exactly that case. Recovery is an explicit rebuild
+    (scd2_rebuild_from_log) or re-publishing with this sink."""
     import datetime as dt
     import json
     import os
@@ -692,30 +694,21 @@ def test_scd2_sink_pre_sidecar_dim_guarded(spark, tmp_path):
     with open(os.path.join(dim, _STATE_FILE), "w") as f:
         json.dump({"batch_id": 0}, f)
 
-    day2_repeat = spark.createDataFrame(
-        [(2, dt.datetime(2024, 1, 2, 2), 1, "click", 9.0)], schema
-    )
-    with _pytest.raises(ValueError, match="pre-sidecar"):
-        sink(day2_repeat, 1)
-
-    day1_late = spark.createDataFrame(
-        [(3, dt.datetime(2024, 1, 1, 1), 1, "view", 7.0)], schema
-    )
-    with _pytest.raises(ValueError, match="older than the folded head"):
-        sink(day1_late, 1)
-
-    day3 = spark.createDataFrame(
-        [(4, dt.datetime(2024, 1, 3, 1), 1, "purchase", 5.0)], schema
-    )
-    sink(day3, 1)
-    got = sorted(
-        spark.read.parquet(dim)
-        .select("event_type", "effective_from", "is_current")
-        .collect(),
-        key=lambda r: r.effective_from,
-    )
-    assert [r.event_type for r in got] == ["view", "purchase"]
-    assert [r.is_current for r in got] == [False, True]
+    # every fold attempt fails loudly, pointing at the rebuild path —
+    # a repeated head day, an older day, AND a strictly newer day (the
+    # newer day LOOKS safe, but the true head may exceed any value
+    # derivable from the dimension when head days folded as no-ops)
+    for eid, ts in (
+        (2, dt.datetime(2024, 1, 2, 2)),   # repeats the head day
+        (3, dt.datetime(2024, 1, 1, 1)),   # older than the head
+        (4, dt.datetime(2024, 1, 3, 1)),   # newer — still unverifiable
+    ):
+        b = spark.createDataFrame([(eid, ts, 1, "view", 7.0)], schema)
+        with _pytest.raises(ValueError, match="pre-sidecar"):
+            sink(b, 1)
+    # the dimension itself is untouched by the refused folds
+    got = spark.read.parquet(dim).select("event_type", "is_current").collect()
+    assert [(r.event_type, r.is_current) for r in got] == [("view", True)]
 
 
 def test_stateful_cusum_ignores_uncalibrated_types(spark, sf_dir):

@@ -133,9 +133,23 @@ def main() -> None:
     ap.add_argument("--big", default=os.path.join(REPO, ".scale_fixtures", "sf1"))
     args = ap.parse_args()
 
-    if not os.path.exists(os.path.join(args.big, "lineitem.parquet")):
+    # regeneration sentinel: a manifest written only AFTER a full generate,
+    # carrying the factor — a partial fixture (crash mid-generate) has no
+    # manifest and regenerates; a different-factor fixture mismatches and
+    # regenerates, instead of being silently timed under the wrong label
+    manifest = os.path.join(args.big, "_MANIFEST.json")
+    want = {"factor": args.factor, "src": os.path.normpath(args.small)}
+    have = None
+    try:
+        with open(manifest) as f:
+            have = json.load(f)
+    except (OSError, ValueError):
+        have = None
+    if have != want:
         from gen_scale_fixture import generate
         generate(args.small, args.big, args.factor)
+        with open(manifest, "w") as f:
+            json.dump(want, f)
 
     small, small_build = time_queries(args.small, args.passes)
     big, big_build = time_queries(args.big, args.passes)

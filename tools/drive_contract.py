@@ -54,6 +54,10 @@ def main() -> int:
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: drive_contract.py [--json out.json] [sf_dir] [qid ...]",
+                  file=sys.stderr)
+            return 2
         json_path = args[i + 1]
         del args[i : i + 2]
     sf = args[0] if args else "/root/testdata/sf0.01"
