@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..exprs import money_sum, sql_money_sum
+from ..exprs import money_sum, scaled_long, sql_money_sum
 from ..registry import query
 from ..sources.tables import table
 
@@ -309,4 +309,91 @@ def sql_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFram
               > (SELECT SUM(cents) FROM o i WHERE i.o_custkey = c.o_custkey)
         GROUP BY c.o_custkey
         """
+    )
+
+
+@query(
+    "sql_late_shipment_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def sql_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape adapted to this schema: per order priority, how many
+    quarter-Q1-1996 orders had at least one line item shipped more than 90
+    days after the order date — the order-fulfillment SLA report. The
+    correlated EXISTS (with a non-equi residual on the two tables' date
+    columns riding the equi orderkey join) decorrelates to a left-semi
+    hash join; the date window pushes into the orders scan. Exact integer
+    counts and pure date arithmetic — bit-identical in both engines."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+@query(
+    "sql_top_supplier_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * CAST(10000 AS DOUBLE)
+                        + 0.5) AS BIGINT)) AS rev_scaled
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey),
+mx AS (SELECT MAX(rev_scaled) AS mx FROM rev)
+SELECT s.s_suppkey, s.s_name,
+       r.rev_scaled / CAST(10000 AS DOUBLE) AS total_revenue
+FROM rev r
+JOIN mx ON r.rev_scaled = mx.mx
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+""",
+)
+def sql_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, returning the
+    top supplier(s) — ties included, exactly as the spec's view+max
+    formulation requires (a top-1 LIMIT would silently drop ties). The
+    global max arrives as a 1-row aggregate joined back on EQUALITY of
+    the exact scaled-integer revenue (a broadcast hash join on the value,
+    not a nested loop, and no global sort); the supplier dimension
+    broadcasts. Revenue is the same exact integer-cents formulation as
+    the flagship star query, so the float division at the end is the
+    only float op and is identical in both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(scaled_long(revenue, 10000)).alias("rev_scaled")
+    )
+    mx = rev.agg(F.max("rev_scaled").alias("mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["rev_scaled"] == mx["mx"])
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_scaled") / F.lit(10000.0)).alias("total_revenue"),
+        )
     )
