@@ -66,6 +66,18 @@ HEADLINE = [
     "join_skew_salted",
     "topk_global",
     "time_weighted_avg",
+    # round-4 additions
+    "attribution_last_touch",
+    "time_to_conversion",
+    "cdc_apply_log",
+    "rolling_active_users",
+    "user_lifecycle_weekly",
+    "cohort_ltv_cumulative",
+    "text_training_windows",
+    "stream_cdc_compaction",
+    "dq_expectation_report",
+    "sql_late_shipment_priority",
+    "sql_top_supplier_revenue",
 ]
 
 # staged-artifact builders + python-worker bootstrap, untimed (as bench.py)
