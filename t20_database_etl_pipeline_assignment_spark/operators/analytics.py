@@ -2084,3 +2084,78 @@ def agg_concentration_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (top(10) / (F.lit(1.0) * F.sum("s_c"))).alias("cr10"),
         (top(1) / (F.lit(1.0) * F.sum("s_c"))).alias("cr1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# session_conversion_by_length
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_conversion_by_length",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+g AS (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN us - lag(us) OVER w > {_SESSION_GAP_US} OR
+                   lag(us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (
+  SELECT user_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_seq
+  FROM g),
+sess AS (
+  SELECT user_id, session_seq,
+         COUNT(*) AS n_events,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM s GROUP BY 1, 2)
+SELECT CAST(n_events AS BIGINT) AS session_length,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       SUM(converted) / (1.0 * COUNT(*)) AS conversion_rate
+FROM sess
+GROUP BY n_events
+""",
+)
+def session_conversion_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-outcome analytics: does session length predict purchase?
+    Gap-based sessions (same 30-min kernel as sessionize_batch), each
+    flagged converted if it contains a purchase, rolled up to conversion
+    rate per session length — the engagement-vs-intent curve a product
+    team reads before touching the funnel.
+
+    Same single user-keyed shuffle as the sessionization kernel (lag-flag
+    + running sum + per-session rollup share the partitioning); the final
+    group is the tiny length histogram. The rate is one int/int division,
+    identical in both engines."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > _SESSION_GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_seq", F.sum("new_session").over(run))
+    sess = s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return sess.groupBy(F.col("n_events").cast("long").alias("session_length")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        (F.sum("converted") / (F.lit(1.0) * F.count(F.lit(1)))).alias(
+            "conversion_rate"
+        ),
+    )

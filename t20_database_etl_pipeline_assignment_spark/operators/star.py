@@ -397,3 +397,66 @@ def sql_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_scaled") / F.lit(10000.0)).alias("total_revenue"),
         )
     )
+
+
+@query(
+    "sql_local_supplier_share",
+    oracle="""
+WITH flows AS (
+  SELECT cn.n_name AS nation,
+         CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * CAST(10000 AS DOUBLE)
+                    + 0.5) AS BIGINT) AS rev_scaled,
+         CASE WHEN c.c_nationkey = s.s_nationkey THEN 1 ELSE 0 END AS is_local
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey)
+SELECT nation,
+       SUM(CASE WHEN is_local = 1 THEN rev_scaled ELSE 0 END)
+         / CAST(10000 AS DOUBLE) AS local_revenue,
+       SUM(rev_scaled) / CAST(10000 AS DOUBLE) AS total_revenue,
+       SUM(CASE WHEN is_local = 1 THEN rev_scaled ELSE 0 END)
+         / (1.0 * SUM(rev_scaled)) AS local_share
+FROM flows
+GROUP BY nation
+""",
+)
+def sql_local_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5/Q7 flavor: per customer nation, how much revenue is served
+    by suppliers of the SAME nation vs any supplier — the local-sourcing
+    share a trade report leads with. The fact table streams once through
+    four broadcast dimension joins (orders is the largest side but the
+    probe order keeps lineitem streaming); the local flag is computed in
+    the join projection so the aggregate is one partial-aggregable
+    groupBy on the 25-nation key. Revenue is exact scaled cents; the two
+    final divisions are the only float ops and share operand text with
+    the oracle."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    flows = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            scaled_long(revenue, 10000).alias("rev_scaled"),
+            F.when(F.col("c_nationkey") == F.col("s_nationkey"), 1)
+            .otherwise(0)
+            .alias("is_local"),
+        )
+    )
+    local = F.sum(F.when(F.col("is_local") == 1, F.col("rev_scaled")).otherwise(0))
+    total = F.sum("rev_scaled")
+    return flows.groupBy("nation").agg(
+        (local / F.lit(10000).cast("double")).alias("local_revenue"),
+        (total / F.lit(10000).cast("double")).alias("total_revenue"),
+        (local / (F.lit(1.0) * total)).alias("local_share"),
+    )
