@@ -93,10 +93,12 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(e)
 
 
-def sessionize(e: DataFrame, gap_us: int = _SESSION_GAP_US) -> DataFrame:
-    """The sessionization kernel on a (user_id, event_id, us, v_c)
-    relation — separated from the fixture scan so property-based tests can
-    model-check it on generated streams (tests/test_analytics_ops.py)."""
+def assign_session_seq(e: DataFrame, gap_us: int = _SESSION_GAP_US) -> DataFrame:
+    """Event-level session assignment (gap-flag + running sum): input rows
+    gain a per-user `session_seq` column, all other columns pass through.
+    THE single definition of what a session is — sessionize() and
+    session_conversion_by_length both build on it, so a change to the gap
+    boundary or tie order can never make the two disagree."""
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     g = e.withColumn(
@@ -107,7 +109,16 @@ def sessionize(e: DataFrame, gap_us: int = _SESSION_GAP_US) -> DataFrame:
             1,
         ).otherwise(0),
     )
-    s = g.withColumn("session_seq", F.sum("new_session").over(run))
+    return g.withColumn("session_seq", F.sum("new_session").over(run)).drop(
+        "new_session"
+    )
+
+
+def sessionize(e: DataFrame, gap_us: int = _SESSION_GAP_US) -> DataFrame:
+    """The sessionization kernel on a (user_id, event_id, us, v_c)
+    relation — separated from the fixture scan so property-based tests can
+    model-check it on generated streams (tests/test_analytics_ops.py)."""
+    s = assign_session_seq(e, gap_us)
     return s.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("us").alias("start_us"),
@@ -2136,16 +2147,7 @@ def session_conversion_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
     )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s = e.withColumn(
-        "new_session",
-        F.when(
-            (F.col("us") - F.lag("us").over(w) > _SESSION_GAP_US)
-            | F.lag("us").over(w).isNull(),
-            1,
-        ).otherwise(0),
-    ).withColumn("session_seq", F.sum("new_session").over(run))
+    s = assign_session_seq(e)  # the ONE session definition (see the kernel)
     sess = s.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max(

@@ -66,7 +66,7 @@ HEADLINE = [
     "join_skew_salted",
     "topk_global",
     "time_weighted_avg",
-    # round-4 additions
+    # round-4 additions (ALL 18 registered round-4 operators)
     "attribution_last_touch",
     "time_to_conversion",
     "cdc_apply_log",
@@ -78,6 +78,13 @@ HEADLINE = [
     "dq_expectation_report",
     "sql_late_shipment_priority",
     "sql_top_supplier_revenue",
+    "privacy_k_anonymity",
+    "sql_correlated_scalar_subquery",
+    "graph_degree_histogram",
+    "emb_similarity_histogram",
+    "stream_scd2_late_reconcile",
+    "session_conversion_by_length",
+    "sql_local_supplier_share",
 ]
 
 # staged-artifact builders + python-worker bootstrap, untimed (as bench.py)
@@ -106,6 +113,11 @@ SPOT_QUERIES = [
     "market_basket_pairs",
     "dedup_exact",
     "dedup_minhash_lsh",
+    # the two round-4 oracles most exposed to the scale-dependent
+    # HUGEINT->DOUBLE float class (exact scaled-revenue sums divided by a
+    # double) — exactly what this spot-check exists to catch
+    "sql_top_supplier_revenue",
+    "sql_local_supplier_share",
 ]
 
 FLAG_SLACK = 1.2   # ratio > factor * slack => super-linear, flag it
