@@ -687,7 +687,11 @@ churn AS (
   FROM seq s, bounds b
   WHERE (s.next_wk IS NULL AND s.wk < b.max_wk) OR s.next_wk - s.wk > 1),
 allrows AS (SELECT wk, state FROM states UNION ALL SELECT wk, state FROM churn)
-SELECT CAST(to_timestamp((wk * {_WEEK_US}) / 1000000) AS TIMESTAMP) AS week,
+-- reconstruct the true Monday week boundary: the epoch (1970-01-01) was a
+-- Thursday, so every date_trunc('week') Monday sits 4 days past an exact
+-- epoch-week multiple and the floor drops exactly that remainder
+SELECT CAST(to_timestamp((wk * {_WEEK_US} + 4 * 86400000000) / 1000000)
+            AS TIMESTAMP) AS week,
        CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
        CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
        CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
@@ -751,7 +755,9 @@ def user_lifecycle_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_churned"),
     ).select(
-        ntz_from_us(F.col("wk") * _WEEK_US).alias("week"),
+        # +4 days: reconstruct the Monday the week index truncated from
+        # (the epoch was a Thursday) — see the oracle comment
+        ntz_from_us(F.col("wk") * _WEEK_US + 4 * 86_400_000_000).alias("week"),
         "n_new",
         "n_retained",
         "n_resurrected",

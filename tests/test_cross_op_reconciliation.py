@@ -1,0 +1,128 @@
+"""Cross-operator reconciliation (round 4): independent operators that
+view the same facts must agree on the shared totals. The oracle gate
+proves each query against its own SQL; these tests prove the queries
+against EACH OTHER — the class of bug where two correct-looking reports
+silently disagree because they count the same thing differently."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from t20_database_etl_pipeline_assignment_spark.registry import QUERIES
+from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+
+
+def test_attribution_totals_cover_every_purchase(spark, sf_dir):
+    """Every purchase lands in exactly one attribution channel (incl. the
+    -1 unattributed bucket), so channel counts sum to the purchase count."""
+    out = QUERIES["attribution_last_touch"](spark, sf_dir).collect()
+    n_purchases = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_purchases for r in out) == n_purchases
+
+
+def test_conversion_totals_cover_every_click(spark, sf_dir):
+    """time_to_conversion partitions clicks by channel: click counts sum to
+    the click count and conversions never exceed clicks per channel."""
+    out = QUERIES["time_to_conversion"](spark, sf_dir).collect()
+    n_clicks = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert sum(r.n_clicks for r in out) == n_clicks
+    for r in out:
+        assert 0 <= r.n_converted <= r.n_clicks
+        if r.n_converted == 0:
+            assert r.sum_latency_us == 0 and r.max_latency_us is None
+
+
+def test_lifecycle_states_partition_weekly_actives(spark, sf_dir):
+    """Growth accounting: new + retained + resurrected exactly partitions
+    each week's active users, and the new-user column telescopes to the
+    total distinct user count."""
+    e = table(spark, sf_dir, "events")
+    weekly = (
+        e.select("user_id", F.date_trunc("week", "ts").alias("w"))
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    actives = {r.w: r.n_active for r in weekly.collect()}
+    out = QUERIES["user_lifecycle_weekly"](spark, sf_dir).collect()
+    got = {
+        r.week: r.n_new + r.n_retained + r.n_resurrected
+        for r in out
+        if r.week in actives  # churn-only weeks have no active rows
+    }
+    assert got == actives
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n_new for r in out) == n_users
+
+
+def test_dau_never_exceeds_wau(spark, sf_dir):
+    """A day's actives are a subset of its trailing week's actives."""
+    for r in QUERIES["rolling_active_users"](spark, sf_dir).collect():
+        assert 0 < r.dau <= r.wau
+        assert 0 < r.stickiness <= 1.0
+
+
+def test_session_conversion_reconciles_with_sessionize(spark, sf_dir):
+    """The conversion curve and the sessionization rollup must agree on
+    the session count per length and on the total event count (both are
+    views over the same assign_session_seq kernel)."""
+    conv = QUERIES["session_conversion_by_length"](spark, sf_dir).collect()
+    sess = (
+        QUERIES["sessionize_batch"](spark, sf_dir)
+        .groupBy("n_events")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .collect()
+    )
+    assert {r.session_length: r.n_sessions for r in conv} == {
+        r.n_events: r.n_sessions for r in sess
+    }
+    n_events = table(spark, sf_dir, "events").count()
+    assert sum(r.session_length * r.n_sessions for r in conv) == n_events
+
+
+def test_cdc_trajectory_ends_at_compacted_live_count(spark, sf_dir):
+    """The per-day live-key trajectory's final value equals the number of
+    live keys after compacting the whole log — the streaming sink's state
+    and the batch compaction must land on the same count."""
+    traj = sorted(
+        QUERIES["stream_cdc_compaction"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    n_live = QUERIES["cdc_apply_log"](spark, sf_dir).count()
+    assert traj[-1].n_live == n_live
+
+
+def test_local_supplier_share_bounded_and_total_reconciles(spark, sf_dir):
+    """Per nation the local share is a true fraction, and the nation totals
+    sum to the whole lineitem revenue (every line item has exactly one
+    customer nation)."""
+    from t20_database_etl_pipeline_assignment_spark.exprs import scaled_long
+
+    out = QUERIES["sql_local_supplier_share"](spark, sf_dir).collect()
+    for r in out:
+        assert 0.0 <= r.local_share <= 1.0
+        assert r.local_revenue <= r.total_revenue
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    whole = (
+        table(spark, sf_dir, "lineitem")
+        .agg(F.sum(scaled_long(revenue, 10000)).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert round(sum(r.total_revenue for r in out), 4) == round(whole / 10000.0, 4)
+
+
+def test_top_supplier_is_argmax_of_share_inputs(spark, sf_dir):
+    """sql_top_supplier_revenue's winners carry the maximum quarterly
+    revenue, and every winner appears with identical revenue (ties kept)."""
+    out = QUERIES["sql_top_supplier_revenue"](spark, sf_dir).collect()
+    assert len(out) >= 1
+    revs = {r.total_revenue for r in out}
+    assert len(revs) == 1  # all winners tie at the max by construction
