@@ -100,10 +100,14 @@ def main() -> None:
     # PREVIOUS detail record (read before we overwrite it) alongside the
     # previous record's time on that same subset. A flat/falling
     # common-subset pair means no regression regardless of surface growth.
+    # Comparable only at the SAME scale factor: a bench run at a different
+    # sf would otherwise silently record a meaningless prev-vs-now pair.
     prev_common: dict[str, float] = {}
     try:
         with open(detail_path) as f:
-            prev_common = json.load(f).get("queries", {})
+            prev_detail = json.load(f)
+        if float(prev_detail.get("sf", -1)) == float(sf):
+            prev_common = prev_detail.get("queries", {})
     except (OSError, ValueError):
         prev_common = {}
     common = sorted(set(timings) & set(prev_common))

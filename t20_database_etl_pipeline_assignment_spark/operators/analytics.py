@@ -554,7 +554,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wt).alias("n"),
     )
     med = (
-        med.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        med.filter(F.col("rn") == F.expr("(n + 1) div 2"))
         .select("event_type", F.col("v_c").alias("med_c"))
     )
     dev = e.join(F.broadcast(med), "event_type").select(
@@ -571,7 +571,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wt).alias("n"),
     )
     mad = (
-        dr.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        dr.filter(F.col("rn") == F.expr("(n + 1) div 2"))
         .select("event_type", F.col("med_c").alias("m_med_c"), F.col("dev_c").alias("mad_c"))
     )
     return (
@@ -1034,7 +1034,7 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lst = F.collect_list("v_c").over(w)
     med = F.element_at(
-        F.array_sort(lst), F.floor((F.size(lst) + 1) / 2).cast("int")
+        F.array_sort(lst), F.shiftright(F.size(lst) + F.lit(1), 1)
     )
     return e.select(
         "user_id", "event_id", "us", (med / F.lit(100.0)).alias("rolling_median")

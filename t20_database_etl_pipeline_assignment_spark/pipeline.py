@@ -170,8 +170,6 @@ def _overwrite_in_place(spark: SparkSession, df: DataFrame, path: str) -> int:
     renames. Readers never observe a partial state, and a crash between
     the renames leaves a recoverable `.old`. Returns the new row count.
     """
-    import shutil
-
     tmp, old = path + ".tmp-swap", path + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)

@@ -91,30 +91,38 @@ def smj_small_sides(df: DataFrame) -> list[str]:
     walk(plan)
     out: list[str] = []
     for j in smjs:
-        # only the broadcast-ELIGIBLE build side matters: inner/cross can
-        # build either side; left outer/semi/anti and existence joins can
-        # only build RIGHT; right outer only LEFT; full outer neither
-        jt = str(j.joinType()).replace("_", "").lower()
-        if jt in ("inner", "cross"):
-            eligible = (0, 1)
-        elif jt in ("leftouter", "leftsemi", "leftanti") or jt.startswith("existence"):
-            eligible = (1,)
-        elif jt == "rightouter":
-            eligible = (0,)
-        else:  # full outer (and anything unknown): SMJ is the right call
-            continue
-        link = j.logicalLink()  # the logical Join this SMJ compiles
-        if not link.isDefined():
-            continue
-        kids = link.get().children()
-        for i in eligible:
-            if i >= kids.length():
+        # The whole per-join inspection reflects into JVM internals
+        # (joinType/logicalLink/children via py4j); an exotic plan node
+        # that errors on any of those calls should skip THIS join, not
+        # crash lint() — same stance as the stats-unavailable skip below.
+        try:
+            # only the broadcast-ELIGIBLE build side matters: inner/cross
+            # can build either side; left outer/semi/anti and existence
+            # joins can only build RIGHT; right outer only LEFT; full
+            # outer neither
+            jt = str(j.joinType()).replace("_", "").lower()
+            if jt in ("inner", "cross"):
+                eligible = (0, 1)
+            elif jt in ("leftouter", "leftsemi", "leftanti") or jt.startswith("existence"):
+                eligible = (1,)
+            elif jt == "rightouter":
+                eligible = (0,)
+            else:  # full outer (and anything unknown): SMJ is the right call
                 continue
-            try:
-                size = int(str(kids.apply(i).stats().sizeInBytes()))
-            except Exception:  # noqa: BLE001 — stats unavailable: skip
+            link = j.logicalLink()  # the logical Join this SMJ compiles
+            if not link.isDefined():
                 continue
-            if size < thresh:
-                side = "left" if i == 0 else "right"
-                out.append(f"{jt} {side} side {size}B (threshold {thresh}B)")
+            kids = link.get().children()
+            for i in eligible:
+                if i >= kids.length():
+                    continue
+                try:
+                    size = int(str(kids.apply(i).stats().sizeInBytes()))
+                except Exception:  # noqa: BLE001 — stats unavailable: skip
+                    continue
+                if size < thresh:
+                    side = "left" if i == 0 else "right"
+                    out.append(f"{jt} {side} side {size}B (threshold {thresh}B)")
+        except Exception:  # noqa: BLE001 — py4j reflection failed: skip join
+            continue
     return out
