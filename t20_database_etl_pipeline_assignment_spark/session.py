@@ -44,7 +44,10 @@ def get_spark(app_name: str = "t20-etl-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("T20_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (faster session startup); the scaling harness
+        # (tools/bench_scaling.py) enables it to read per-stage shuffle /
+        # spill / peak-memory telemetry from the REST status API.
+        .config("spark.ui.enabled", os.environ.get("T20_UI_ENABLED", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # Legacy-layout tolerance: earlier fixture generations wrote
         # events.ts as TIMESTAMP(NANOS), which Spark's vectorized reader

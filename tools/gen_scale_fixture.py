@@ -87,6 +87,37 @@ FIXED_TABLES = {"region", "nation"}  # do not scale (TPC-H semantics)
 _SUFFIX = "abcdefghijklmnopqrstuvwxyz"
 
 
+def _suffix(copy: int) -> str:
+    """Bijective base-26 suffix for copy >= 1: 1->'a' .. 26->'z', 27->'aa',
+    100->'cv'. Same-length suffixes are injective by construction; across
+    lengths, `w1 + s1 == w2 + s2` with |s1| != |s2| would require one vocab
+    word to equal another vocab word plus trailing letters, which
+    `_verify_suffix_bijection` checks against the actual fixture vocabulary
+    (raw AND digit-masked, the dedup_cascade normalization)."""
+    s = ""
+    n = copy
+    while n:
+        n, r = divmod(n - 1, 26)
+        s = _SUFFIX[r] + s
+    return s
+
+
+def _verify_suffix_bijection(src: str, factor: int) -> None:
+    import re
+
+    t = pq.read_table(os.path.join(src, "documents.parquet"), columns=["text"])
+    vocab = set()
+    for text in t.column(0).to_pylist():
+        vocab.update(text.split(" "))
+    for vset in (vocab, {re.sub(r"[0-9]+", "<num>", w.lower()) for w in vocab}):
+        suffixed = {w + (_suffix(i) if i else "") for i in range(factor) for w in vset}
+        if len(suffixed) != factor * len(vset):
+            raise AssertionError(
+                "token-suffix scheme collides with the fixture vocabulary; "
+                "cross-copy shingle sets would not be disjoint"
+            )
+
+
 def _strides(src: str) -> dict[str, int]:
     out = {}
     for domain, (tbl, col) in KEY_DOMAINS.items():
@@ -98,7 +129,7 @@ def _strides(src: str) -> dict[str, int]:
 def _perturb_documents(tbl: pa.Table, copy: int) -> pa.Table:
     if copy == 0:
         return tbl
-    suf = _SUFFIX[copy - 1]
+    suf = _suffix(copy)
     texts = [
         " ".join(tok + suf for tok in t.split(" "))
         for t in tbl.column("text").to_pylist()
@@ -114,7 +145,19 @@ def _perturb_documents(tbl: pa.Table, copy: int) -> pa.Table:
 def _perturb_embeddings(tbl: pa.Table, copy: int) -> pa.Table:
     if copy == 0:
         return tbl
-    vecs = [v[copy:] + v[:copy] for v in tbl.column("embedding").to_pylist()]
+    # rotate by copy mod dim; once rotations wrap (copy >= dim), negate the
+    # whole copy as well. Negating BOTH vectors of a pair preserves every
+    # within-copy pairwise cosine, so per-copy geometry stays identical to
+    # sf0.1 while no two copies i != j share vector content until
+    # i ≡ j (mod 2*dim) — beyond any factor this generator supports with a
+    # 64-dim fixture (copies 0..127 are pairwise distinct).
+    first = tbl.column("embedding")[0].as_py()
+    dim = len(first)
+    rot, neg = copy % dim, (copy // dim) % 2 == 1
+    vecs = [
+        [-x for x in v[rot:] + v[:rot]] if neg else v[rot:] + v[:rot]
+        for v in tbl.column("embedding").to_pylist()
+    ]
     cols = {name: tbl.column(name) for name in tbl.column_names}
     cols["embedding"] = pa.array(vecs, type=tbl.schema.field("embedding").type)
     return pa.table(cols, schema=tbl.schema)
@@ -135,7 +178,10 @@ def _shifted_copy(tbl: pa.Table, shifts: dict[str, str], strides: dict[str, int]
 
 
 def generate(src: str, dst: str, factor: int) -> None:
-    assert 1 <= factor <= len(_SUFFIX) + 1, "token-suffix alphabet bounds factor"
+    # 128 = embedding rotate+negate distinctness bound (2 * 64-dim); the
+    # bijective base-26 token suffixes extend far beyond it
+    assert 1 <= factor <= 128, "embedding rotation distinctness bounds factor"
+    _verify_suffix_bijection(src, factor)
     os.makedirs(dst, exist_ok=True)
     strides = _strides(src)
     for name in TABLES:
@@ -147,23 +193,27 @@ def generate(src: str, dst: str, factor: int) -> None:
             os.replace(tmp, dst_file)
             continue
         base = pq.read_table(src_file)
-        copies = []
+        # right-size row groups: the driver fixtures land as ONE row group
+        # (unsplittable - see sources/tables.py restaging note); the scaled
+        # fixture writes ~24 groups at factor 10, ~240 at factor 100, so
+        # Spark can parallelize the scan the way a production landing zone
+        # would be laid out. Copies stream to the writer one at a time so
+        # peak memory stays ~one source table regardless of factor.
+        total = base.num_rows * factor
+        rg = max(16_384, total // max(24, (24 * factor) // 10))
+        writer = pq.ParquetWriter(tmp, base.schema)
         for i in range(factor):
             t = base
             if name == "documents":
                 t = _perturb_documents(t, i)
             elif name == "embeddings":
                 t = _perturb_embeddings(t, i)
-            copies.append(_shifted_copy(t, SHIFTS[name], strides, i))
-        out = pa.concat_tables(copies)
-        # right-size row groups: the driver fixtures land as ONE row group
-        # (unsplittable - see sources/tables.py restaging note); the scaled
-        # fixture writes ~24 groups so Spark can parallelize the scan the
-        # way a production landing zone would be laid out
-        rg = max(16_384, out.num_rows // 24)
-        pq.write_table(out, tmp, row_group_size=rg)
+            writer.write_table(
+                _shifted_copy(t, SHIFTS[name], strides, i), row_group_size=rg
+            )
+        writer.close()
         os.replace(tmp, dst_file)
-        print(f"{name}: {base.num_rows} -> {out.num_rows} rows "
+        print(f"{name}: {base.num_rows} -> {total} rows "
               f"({os.path.getsize(dst_file) // 1024} KiB)", flush=True)
 
 
