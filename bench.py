@@ -55,6 +55,12 @@ def main() -> None:
         "cluster_connected_components", # jaccard_graph
         "text_fingerprint",             # simhash_fp
         "join_bucketed_colocated",      # bucketed warehouse build
+        # partitioned-at-rest fact copies + the DPP month dim (operators/
+        # partitioned.py): the one-time repartitioned landing-zone write
+        "scan_partitioned_pruned",              # partitioned lineitem
+        "sql_unshipped_revenue_topk_partitioned",  # partitioned orders
+        "stream_tumbling_partitioned",          # partitioned events
+        "join_dpp_month_dim",                   # month dim
         # not an index: first Python-source/UDF use pays one-time Python
         # worker bootstrap (~5 s), same class of cost as the JVM warmup
         "scan_python_datasource",

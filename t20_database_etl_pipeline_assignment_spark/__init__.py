@@ -25,6 +25,7 @@ from .operators import (  # noqa: F401
     io_ops,
     llm,
     multimodal,
+    partitioned,
     quality,
     relational,
     star,

@@ -64,10 +64,16 @@ def prune_stale_generations(sf_dir: str) -> None:
         pass
 
 
-def cached_df(spark: SparkSession, path: str, build) -> DataFrame:
+def cached_df(
+    spark: SparkSession, path: str, build, partition_by: str | None = None
+) -> DataFrame:
     """Read a parquet-cached DataFrame, building it once if absent. The
     build is deterministic, so cache hits are value-identical to rebuilds
     (doubles round-trip parquet exactly).
+
+    `partition_by` writes the artifact hive-partitioned on that column —
+    the at-rest layout of a 100 TB fact table — so readers get partition
+    pruning / dynamic partition pruning on it for free.
 
     Concurrent callers (queries run in parallel threads share these
     artifacts) each build into a caller-unique tmp dir and publish with an
@@ -81,7 +87,10 @@ def cached_df(spark: SparkSession, path: str, build) -> DataFrame:
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}-{uuid.uuid4().hex[:8]}"
-        build().write.mode("overwrite").parquet(tmp)
+        writer = build().write.mode("overwrite")
+        if partition_by is not None:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(tmp)
         try:
             os.rename(tmp, path)  # atomic publish; fails if a winner exists
         except OSError:

@@ -94,6 +94,31 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
 
 
+def test_partitioned_twins_prune(spark, sf_dir):
+    """The partitioned-at-rest twins (operators/partitioned.py) must carry
+    their coarse date predicates as PartitionFilters on the scan — i.e.
+    directory pruning on the hive-partitioned fact copy, not a full scan
+    plus in-memory filter — and the DPP twin must derive its partition
+    filter dynamically from the broadcast month dim."""
+    static_twins = {
+        "scan_partitioned_pruned": "l_shipmonth",
+        "sql_flagship_star_partitioned": "l_shipmonth",
+        "sql_unshipped_revenue_topk_partitioned": "o_ordermonth",
+        "stream_tumbling_partitioned": "event_date",
+    }
+    for qid, pcol in static_twins.items():
+        plan = plan_of(QUERIES[qid](spark, sf_dir))
+        import re
+
+        filters = [
+            m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+            if pcol in m and (">=" in m or "<" in m)
+        ]
+        assert filters, f"{qid}: no pruning PartitionFilters on {pcol}\n{plan}"
+    dpp = plan_of(QUERIES["join_dpp_month_dim"](spark, sf_dir))
+    assert "dynamicpruningexpression" in dpp, dpp
+
+
 def test_salted_join_spreads_keys(spark, sf_dir):
     """The salted join must shuffle on (key, salt) — visible as the salt
     column in the join keys — and still broadcast the tiny nation dim."""
