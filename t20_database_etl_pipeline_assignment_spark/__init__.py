@@ -22,6 +22,7 @@ from .operators import (  # noqa: F401
     aggregates,
     analytics,
     etl,
+    extras5,
     io_ops,
     llm,
     multimodal,

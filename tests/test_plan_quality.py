@@ -165,6 +165,7 @@ _BNLJ_ALLOWED = {
     "dedup_cascade",         # 1-row stage-count arithmetic
     "agg_heavy_hitters",     # 1-row grand-total broadcast
     "mix_weighted",          # 1-row weight-sum/budget broadcast
+    "mix_temperature_sampled",  # 1-row weight-sum/budget broadcast
     "join_cross",            # the cross join operator itself (bounded dims)
     "graph_pagerank",        # 1-row node-count broadcast (base-mass term)
     "text_bm25_topk",        # 1-row corpus-size/avgdl/df broadcasts
