@@ -577,6 +577,117 @@ def q_scd3_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd4_apply",
+    oracle=f"""
+WITH tgt AS ({_SQL_TGT}), stg AS ({_SQL_STG}),
+joined AS (
+  SELECT t.c_custkey AS t_key, t.c_name AS t_name, t.c_acctbal AS t_bal,
+         s.c_custkey AS s_key, s.c_name AS s_name, s.c_acctbal AS s_bal
+  FROM tgt t FULL OUTER JOIN stg s ON t.c_custkey = s.c_custkey)
+SELECT COALESCE(s_key, t_key) AS c_custkey,
+       COALESCE(s_name, t_name) AS c_name,
+       COALESCE(s_bal, t_bal) AS c_acctbal,
+       'current' AS face,
+       CAST(NULL AS TIMESTAMP) AS snapshot_ts
+FROM joined
+UNION ALL
+SELECT t_key, t_name, t_bal, 'history', TIMESTAMP '2026-01-01'
+FROM joined
+WHERE t_key IS NOT NULL AND s_key IS NOT NULL
+  AND (t_bal IS DISTINCT FROM s_bal OR t_name IS DISTINCT FROM s_name)
+""",
+)
+def q_scd4_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 4: the current table stays Type-1 thin (always the latest
+    values, one row per key) while every OVERWRITTEN version appends to a
+    separate history table stamped with the batch snapshot — completing
+    the Kimball family next to the repo's Types 1/2/3 (reference
+    README.md:6). Emitted as one relation with a `face` discriminator so
+    the oracle checks both faces in a single hash; a deployment writes
+    the two faces to their own tables (current overwritten in place,
+    history append-only and day-partitioned, so the hot dimension stays
+    small while full lineage lives in cheap cold storage). One full-outer
+    hash join on the business key — the same single-shuffle shape as
+    merge_upsert; the history face is a filter over the SAME join, not a
+    second pass."""
+    target, staged = _target_staged(spark, sf_dir)
+    t, s = target.alias("t"), staged.alias("s")
+    j = t.join(s, F.col("t.c_custkey") == F.col("s.c_custkey"), "full_outer")
+    changed = (
+        F.col("t.c_custkey").isNotNull()
+        & F.col("s.c_custkey").isNotNull()
+        & (
+            ~F.col("s.c_acctbal").eqNullSafe(F.col("t.c_acctbal"))
+            | ~F.col("s.c_name").eqNullSafe(F.col("t.c_name"))
+        )
+    )
+    current = j.select(
+        F.coalesce(F.col("s.c_custkey"), F.col("t.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("s.c_name"), F.col("t.c_name")).alias("c_name"),
+        F.coalesce(F.col("s.c_acctbal"), F.col("t.c_acctbal")).alias("c_acctbal"),
+        F.lit("current").alias("face"),
+        F.lit(None).cast("timestamp").alias("snapshot_ts"),
+    )
+    history = j.filter(changed).select(
+        F.col("t.c_custkey").alias("c_custkey"),
+        F.col("t.c_name").alias("c_name"),
+        F.col("t.c_acctbal").alias("c_acctbal"),
+        F.lit("history").alias("face"),
+        F.lit("2026-01-01").cast("timestamp").alias("snapshot_ts"),
+    )
+    return current.unionByName(history)
+
+
+@query(
+    "table_diff_audit",
+    oracle=f"""
+WITH tgt AS ({_SQL_TGT}), stg AS ({_SQL_STG})
+SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+       CASE WHEN t.c_custkey IS NULL THEN 'added'
+            WHEN s.c_custkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       t.c_acctbal AS old_acctbal,
+       s.c_acctbal AS new_acctbal
+FROM tgt t FULL OUTER JOIN stg s ON t.c_custkey = s.c_custkey
+WHERE t.c_custkey IS NULL OR s.c_custkey IS NULL
+   OR t.c_acctbal IS DISTINCT FROM s.c_acctbal
+   OR t.c_name IS DISTINCT FROM s.c_name
+""",
+)
+def q_table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: classify every business key as added / removed /
+    changed between two table generations, with old/new values for the
+    changed measure — the audit a migration or replication pipeline runs
+    before promoting a snapshot (reference README.md:12 validation).
+    Unchanged keys are filtered out, so the output is bounded by churn,
+    not table size. One full-outer hash join on the key; at 100 TB both
+    sides bucket on the business key and the join is co-located (the
+    join_bucketed_colocated layout), making the daily diff a zero-shuffle
+    scan-and-compare."""
+    target, staged = _target_staged(spark, sf_dir)
+    t, s = target.alias("t"), staged.alias("s")
+    added = F.col("t.c_custkey").isNull()
+    removed = F.col("s.c_custkey").isNull()
+    changed = (
+        ~F.col("s.c_acctbal").eqNullSafe(F.col("t.c_acctbal"))
+        | ~F.col("s.c_name").eqNullSafe(F.col("t.c_name"))
+    )
+    return (
+        t.join(s, F.col("t.c_custkey") == F.col("s.c_custkey"), "full_outer")
+        .filter(added | removed | changed)
+        .select(
+            F.coalesce(F.col("s.c_custkey"), F.col("t.c_custkey")).alias("c_custkey"),
+            F.when(added, F.lit("added"))
+            .when(removed, F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+            F.col("t.c_acctbal").alias("old_acctbal"),
+            F.col("s.c_acctbal").alias("new_acctbal"),
+        )
+    )
+
+
+@query(
     "dim_infer_member",
     oracle="""
 WITH dim AS (SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -126,3 +126,51 @@ def test_top_supplier_is_argmax_of_share_inputs(spark, sf_dir):
     assert len(out) >= 1
     revs = {r.total_revenue for r in out}
     assert len(revs) == 1  # all winners tie at the max by construction
+
+
+def test_scd4_current_face_is_merge_upsert(spark, sf_dir):
+    """SCD Type 4's current face is by definition the Type-1 upsert of the
+    same (target, staged) pair — the two operators must emit identical
+    rows, and the history face must be a subset of the pre-merge target."""
+    scd4 = QUERIES["scd4_apply"](spark, sf_dir)
+    cur = {
+        (r.c_custkey, r.c_name, r.c_acctbal)
+        for r in scd4.filter(F.col("face") == "current").collect()
+    }
+    upsert = {
+        (r.c_custkey, r.c_name, r.c_acctbal)
+        for r in QUERIES["merge_upsert"](spark, sf_dir).collect()
+    }
+    assert cur == upsert
+    hist = {
+        (r.c_custkey, r.c_name, r.c_acctbal)
+        for r in scd4.filter(F.col("face") == "history").collect()
+    }
+    tgt = {
+        (r.c_custkey, r.c_name, r.c_acctbal)
+        for r in table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .collect()
+    }
+    assert hist <= tgt
+
+
+def test_table_diff_reconciles_with_scd4_history(spark, sf_dir):
+    """table_diff_audit's 'changed' keys are exactly scd4's history keys
+    (both defined as present-in-both with any attribute differing), and
+    added + removed + changed partitions the symmetric difference."""
+    diff = QUERIES["table_diff_audit"](spark, sf_dir).collect()
+    by_type: dict[str, set] = {}
+    for r in diff:
+        by_type.setdefault(r.change_type, set()).add(r.c_custkey)
+    hist_keys = {
+        r.c_custkey
+        for r in QUERIES["scd4_apply"](spark, sf_dir)
+        .filter(F.col("face") == "history")
+        .collect()
+    }
+    assert by_type.get("changed", set()) == hist_keys
+    # added/removed/changed are disjoint by construction of the full outer join
+    assert not (by_type.get("added", set()) & by_type.get("removed", set()))
+    assert not (by_type.get("added", set()) & by_type.get("changed", set()))
