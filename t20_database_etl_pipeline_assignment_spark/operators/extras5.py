@@ -191,6 +191,47 @@ def mix_temperature_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bpe_pair_counts",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(tok)), i -> substr(tok, i, 2))) AS pair
+  FROM toks WHERE len(tok) >= 2),
+counted AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+SELECT pair, CAST(n AS BIGINT) AS n
+FROM counted ORDER BY n DESC, pair ASC LIMIT 20
+""",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding merge round: the corpus-wide frequency of
+    every adjacent character pair inside tokens, top-20 — the statistic a
+    BPE tokenizer trainer computes (and re-computes per merge) to pick the
+    next merge rule. All JVM higher-order functions: split -> explode ->
+    `transform(sequence(...))` sliding pairs -> explode -> one keyed
+    count, then TakeOrderedAndProject for the top-k (per-partition heaps,
+    no global sort). Deterministic cut line: (n DESC, pair ASC). At 100 TB
+    the pair alphabet is bounded (|charset|^2 keys), so the final agg
+    state is tiny regardless of corpus size — map-side partials do nearly
+    all the work."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
 _LP_ITERS = 3
 
 

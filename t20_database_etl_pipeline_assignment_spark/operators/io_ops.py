@@ -126,6 +126,32 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(PART_SCHEMA).json(path)
 
 
+@query("scan_csv_gzip", oracle="SELECT * FROM part")
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed landing-zone source: gzip CSV round-trip of the part
+    table. The 100 TB design note gzip forces: the codec is UNSPLITTABLE —
+    one task per .gz file no matter the size — so the writer repartitions
+    to several files and a production feed keeps individual .gz objects
+    bounded (or lands zstd/bzip2, which split). Read-side is the same
+    explicit-schema PERMISSIVE CSV reader as scan_csv; Spark picks the
+    codec off the extension."""
+    path = _tmp(sf_dir, "csv_gz")
+    (
+        table(spark, sf_dir, "part")
+        .repartition(4)  # keep parallelism despite the unsplittable codec
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("compression", "gzip")
+        .csv(path)
+    )
+    return (
+        spark.read.schema(PART_SCHEMA)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
 @query("scan_orc", oracle="SELECT * FROM nation")
 def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink round-trip — Spark's second first-class columnar
