@@ -192,6 +192,56 @@ def mix_temperature_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_disjunctive_filter_join",
+    oracle="""
+SELECT p_brand,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * CAST(10000 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT))
+         / CAST(10000 AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+""",
+)
+def sql_disjunctive_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive predicate join ("discounted revenue"):
+    an OR-of-ANDs mixing dimension attributes (p_brand, p_size) with fact
+    measures (l_quantity) across the join. The optimizer surface this
+    exercises: Catalyst extracts the column-local disjunction envelopes —
+    `p_brand IN (...)`, `p_size <= 15`, `l_quantity <= 30` — and pushes
+    them into BOTH scans (PushedFilters on each side) even though the full
+    predicate can only be evaluated above the join; the join itself stays
+    a broadcast equi-join on partkey with the residual OR as its
+    post-condition. At 100 TB the pushed envelopes are what keep the fact
+    scan from reading every row group before the residual filter runs."""
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(v_part) */ p_brand,
+          SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * CAST(10000 AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            / CAST(10000 AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+        GROUP BY p_brand
+        """
+    )
+
+
+@query(
     "text_bpe_pair_counts",
     oracle="""
 WITH toks AS (
