@@ -23,6 +23,7 @@ from .operators import (  # noqa: F401
     analytics,
     etl,
     extras5,
+    geo,
     io_ops,
     llm,
     multimodal,

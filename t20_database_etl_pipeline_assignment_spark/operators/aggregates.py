@@ -825,3 +825,84 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders")
     )
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle="""
+WITH rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cells AS (
+  SELECT rr.r,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1 + 8 * rr.r, 8))
+              AS BIGINT) % 256 AS col
+  FROM events CROSS JOIN rr),
+sketch AS (SELECT r, col, COUNT(*) AS c FROM cells GROUP BY r, col),
+truth AS (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS m, COUNT(*) AS n_true
+          FROM events GROUP BY user_id),
+est AS (
+  SELECT t.user_id, t.n_true, MIN(s.c) AS n_est
+  FROM truth t CROSS JOIN rr
+  JOIN sketch s
+    ON s.r = rr.r
+   AND s.col = CAST(('0x' || substr(t.m, 1 + 8 * rr.r, 8)) AS BIGINT) % 256
+  GROUP BY t.user_id, t.n_true)
+SELECT user_id, n_true, CAST(n_est AS BIGINT) AS n_est,
+       CAST(n_est - n_true AS BIGINT) AS overcount
+FROM est
+ORDER BY n_true DESC, user_id ASC
+LIMIT 20
+""",
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan) with d=4 rows x w=256
+    counters, hashed by four DISJOINT 32-bit slices of one md5 — the
+    portable-hash construction (operators/llm.hash60 family) so the
+    sketch is bit-identical in the oracle, which rebuilds it from the
+    same slices. Per event the key charges one counter per row; a key's
+    estimate is the MIN over its d counters — always >= the true count,
+    with the overcount column showing the collision inflation that the
+    min suppresses.
+
+    The 100 TB story is the whole point: the sketch is a FIXED 4x256
+    cell table regardless of key cardinality, built by one map-side-
+    combinable groupBy over an explode-by-4 (no per-key state), and it
+    merges across partitions/days by cell-wise addition — the streaming
+    /distributed frequency sketch a heavy-hitter pipeline actually
+    ships. The exact `truth` side here exists only to exhibit the
+    estimate-vs-true contract on the top-20 keys (TakeOrderedAndProject,
+    never a global sort)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.md5(F.col("user_id").cast("string")).alias("m")
+    )
+    slices = [
+        F.struct(
+            F.lit(r).alias("r"),
+            (F.conv(F.substring("m", 1 + 8 * r, 8), 16, 10).cast("long") % 256).alias(
+                "col"
+            ),
+        )
+        for r in range(4)
+    ]
+    cells = ev.select(F.explode(F.array(*slices)).alias("rc")).select(
+        F.col("rc.r").alias("r"), F.col("rc.col").alias("col")
+    )
+    sketch = cells.groupBy("r", "col").agg(F.count(F.lit(1)).alias("c"))
+    truth = ev.groupBy("user_id", "m").agg(F.count(F.lit(1)).alias("n_true"))
+    probe = truth.select(
+        "user_id", "n_true", F.explode(F.array(*slices)).alias("rc")
+    ).select("user_id", "n_true", F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
+    est = (
+        probe.join(F.broadcast(sketch), ["r", "col"])
+        .groupBy("user_id", "n_true")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "n_true",
+            "n_est",
+            (F.col("n_est") - F.col("n_true")).alias("overcount"),
+        )
+        .orderBy(F.col("n_true").desc(), F.col("user_id").asc())
+        .limit(20)
+    )

@@ -2649,3 +2649,60 @@ def text_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("win_md5"),
     )
+
+
+@query(
+    "text_surprisal_score",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+cf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(LENGTH(bin(tot.n // cf.c)) - 1) AS BIGINT) AS sum_bits,
+       CAST((1000 * SUM(LENGTH(bin(tot.n // cf.c)) - 1)) // COUNT(*)
+            AS BIGINT) AS surprisal_milli
+FROM tok t JOIN cf ON t.tok = cf.tok CROSS JOIN tot
+GROUP BY t.doc_id
+""",
+)
+def text_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram surprisal in EXACT integer bits: each token occurrence
+    costs floor(log2(N / count(tok))) bits — the integer part of its
+    information content under the corpus unigram LM — and a document
+    scores the milli-bit mean over its stream. This is the log-domain
+    twin of text_rarity_score: that operator stays in linear frequency
+    space precisely because float log diverges in the last ulp between
+    JVM and DuckDB libm; here the log2 floor is computed as
+    length(bin(N // count)) - 1, a pure integer/string op both engines
+    define identically, so the perplexity-style signal (high bits = rare
+    /garbled, low bits = boilerplate) is bit-exact with zero float ops.
+
+    Dataflow is the same linear shape as rarity: one explode, one token
+    count shuffle, a co-partitioned join back (hot Zipf tokens fan out
+    without grouping), one doc_id fold; the corpus total N is a 1-row
+    broadcast. At 100 TB nothing here is quadratic and no UDF runs."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("tok"))
+    cf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    # `DIV` is Spark's exact integer division — `/` would round through
+    # double and could land on the wrong side of a bin-length boundary.
+    bits = F.length(F.bin(F.expr("n DIV c"))) - F.lit(1)
+    return (
+        tok.join(cf, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(bits).alias("sum_bits"),
+            (F.lit(1000) * F.sum(bits)).alias("_milli_num"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_bits",
+            F.expr("_milli_num DIV n_tokens").alias("surprisal_milli"),
+        )
+    )

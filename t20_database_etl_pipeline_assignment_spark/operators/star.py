@@ -20,7 +20,7 @@ Spark-first physical design (verified via .explain("formatted")):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exprs import money_sum, scaled_long, sql_money_sum
@@ -459,4 +459,185 @@ def sql_local_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (local / F.lit(10000).cast("double")).alias("local_revenue"),
         (total / F.lit(10000).cast("double")).alias("total_revenue"),
         (local / (F.lit(1.0) * total)).alias("local_share"),
+    )
+
+
+@query(
+    "sql_sole_blame_supplier",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_returnflag = 'R') l1
+  ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def sql_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: this fixture has no l_receiptdate, so
+    "kept waiting" becomes "returned", the analogous fault flag): per
+    supplier, the number of multi-supplier orders where THIS supplier is
+    the only one whose lines were returned — the sole-blame count.
+
+    The oracle states it as the spec does: a correlated EXISTS plus a
+    correlated NOT EXISTS against the same fact table. The Spark plan
+    deliberately does NOT translate those as two extra joins: one pass
+    over lineitem computes per-order supplier counts and returned-
+    supplier counts (partial-aggregable, one shuffle on l_orderkey),
+    and the EXISTS/NOT EXISTS pair collapses to `n_supp >= 2 AND
+    n_ret_supp = 1` — the decorrelated formulation a 100 TB plan wants
+    (Q21 via three lineitem scans is the classic benchmark trap). The
+    supplier dimension broadcasts onto the blamed rows at the end."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    blamed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "sql_dormant_high_value",
+    oracle="""
+WITH thr AS (
+  SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_cents,
+         COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0),
+dormant AS (
+  SELECT c.c_mktsegment, CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer c CROSS JOIN thr
+  WHERE CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) * thr.n > thr.bal_cents
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+SELECT c_mktsegment, COUNT(*) AS n_cust,
+       SUM(cents) / CAST(100 AS DOUBLE) AS total_acctbal
+FROM dormant GROUP BY c_mktsegment
+""",
+)
+def sql_dormant_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: no c_phone in this fixture, so the
+    country-code grouping becomes c_mktsegment): customers whose balance
+    beats the average positive balance yet who have never ordered —
+    dormant capital, grouped by market segment.
+
+    The above-average test is exact integer cross-multiplication
+    (cents * n > sum_cents) so no division ever happens on the filter
+    path and both engines agree bit-for-bit; the scalar aggregate is a
+    1-row broadcast; the NOT EXISTS is a left_anti join against the
+    orders key projection — at 100 TB that anti-join shuffles only the
+    two key columns, and the segment rollup is partial-aggregable on a
+    handful of keys."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", scaled_long(F.col("c_acctbal"), 100).alias("cents")
+    )
+    thr = (
+        c.filter(F.col("cents") > 0)
+        .agg(F.sum("cents").alias("bal_cents"), F.count(F.lit(1)).alias("n"))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    dormant = (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("cents") * F.col("n") > F.col("bal_cents"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        (F.sum("cents") / F.lit(100).cast("double")).alias("total_acctbal"),
+    )
+
+
+@query(
+    "sql_dominant_part_supplier",
+    oracle="""
+SELECT s.s_name, p.p_name, q.supp_qty_c / CAST(100 AS DOUBLE) AS supp_qty,
+       q.part_qty_c / CAST(100 AS DOUBLE) AS part_qty
+FROM (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS supp_qty_c,
+         SUM(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)))
+           OVER (PARTITION BY l_partkey) AS part_qty_c
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+  GROUP BY l_partkey, l_suppkey) q
+JOIN part p ON p.p_partkey = q.l_partkey
+JOIN supplier s ON s.s_suppkey = q.l_suppkey
+WHERE q.supp_qty_c * 2 > q.part_qty_c
+  AND q.l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+""",
+)
+def sql_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp table, so "availability
+    above half the shipped quantity" becomes "this supplier shipped more
+    than half of the part's total volume"): for large parts (p_size >=
+    40, the p_name-LIKE analogue on this fixture's schema), find the
+    supplier that dominates each part's recent supply (shipments since
+    2001 — the recency window that makes dominance a live signal rather
+    than a whole-history average).
+
+    One groupBy on (l_partkey, l_suppkey) plus a window re-aggregate
+    over l_partkey reuses the SAME shuffle (partkey prefix), so the
+    per-part total costs no second exchange; the dominance test is
+    integer (2*supp > part in exact centi-units, no division); the part
+    filter semi-joins as a broadcast before the dimension joins.
+    The oracle keeps the spec's nested-IN flavor."""
+    p_big = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            scaled_long(F.col("l_quantity"), 100).alias("qty_c"),
+        )
+    )
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty_c").alias("supp_qty_c")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = per_pair.withColumn(
+        "part_qty_c", F.sum("supp_qty_c").over(w)
+    ).filter(F.col("supp_qty_c") * 2 > F.col("part_qty_c"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dominant.join(
+            F.broadcast(p_big.select("p_partkey", "p_name")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_name",
+            "p_name",
+            (F.col("supp_qty_c") / F.lit(100).cast("double")).alias("supp_qty"),
+            (F.col("part_qty_c") / F.lit(100).cast("double")).alias("part_qty"),
+        )
     )

@@ -174,3 +174,103 @@ def test_table_diff_reconciles_with_scd4_history(spark, sf_dir):
     # added/removed/changed are disjoint by construction of the full outer join
     assert not (by_type.get("added", set()) & by_type.get("removed", set()))
     assert not (by_type.get("added", set()) & by_type.get("changed", set()))
+
+
+def test_geo_grid_join_matches_brute_force(spark, sf_dir):
+    """The grid-bucketed spatial join returns EXACTLY the pairs the naive
+    all-pairs comparison finds — no duplicates (a pair could leak through
+    two neighbor cells), no misses (a pair could straddle the 3x3
+    envelope), every distance within the radius."""
+    from t20_database_etl_pipeline_assignment_spark.operators.geo import _R_SQ
+
+    out = QUERIES["geo_grid_distance_join"](spark, sf_dir).collect()
+    pairs = [(r.user_a, r.user_b) for r in out]
+    assert len(pairs) == len(set(pairs)), "duplicate pairs from cell overlap"
+    for r in out:
+        assert r.user_a < r.user_b and 0 <= r.dist_sq <= _R_SQ
+
+    from t20_database_etl_pipeline_assignment_spark.operators.llm import hash60
+
+    pts = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select("user_id", hash60(F.col("user_id").cast("string")).alias("h"))
+        .selectExpr("user_id", "h % 180000 AS lat", "(h DIV 180000) % 360000 AS lon")
+    )
+    a = pts.toDF("ua", "lata", "lona")
+    b = pts.toDF("ub", "latb", "lonb")
+    brute = (
+        a.crossJoin(b)
+        .filter(
+            (F.col("ua") < F.col("ub"))
+            & (
+                (F.col("lata") - F.col("latb")) * (F.col("lata") - F.col("latb"))
+                + (F.col("lona") - F.col("lonb")) * (F.col("lona") - F.col("lonb"))
+                <= F.lit(_R_SQ)
+            )
+        )
+        .collect()
+    )
+    assert set(pairs) == {(r.ua, r.ub) for r in brute}
+
+
+def test_count_min_sketch_never_undercounts(spark, sf_dir):
+    """The CMS structural guarantee: every estimate >= the true count
+    (min over d counters can only overcount via collisions), and the
+    overcount column is exactly the difference."""
+    out = QUERIES["agg_count_min_sketch"](spark, sf_dir).collect()
+    assert out, "sketch query returned nothing"
+    for r in out:
+        assert r.n_est >= r.n_true > 0
+        assert r.overcount == r.n_est - r.n_true
+
+
+def test_surprisal_is_internally_consistent(spark, sf_dir):
+    """surprisal_milli must be the exact integer mean of sum_bits, and a
+    doc's mean surprisal can never exceed the corpus-size ceiling
+    (every token's bits <= floor(log2 N))."""
+    out = QUERIES["text_surprisal_score"](spark, sf_dir).collect()
+    n_total = sum(r.n_tokens for r in out)
+    ceiling_bits = n_total.bit_length() - 1
+    for r in out:
+        assert r.surprisal_milli == (1000 * r.sum_bits) // r.n_tokens
+        assert 0 <= r.sum_bits <= r.n_tokens * ceiling_bits
+
+
+def test_sole_blame_matches_literal_exists_form(spark, sf_dir):
+    """The decorrelated Q21 plan (one per-order aggregate) returns the
+    same rows as the literal correlated EXISTS / NOT EXISTS SQL run on
+    Spark itself — proving the rewrite, not just oracle parity."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("v_s")
+    literal = spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+        FROM v_s s
+        JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM v_li
+              WHERE l_returnflag = 'R') l1
+          ON l1.l_suppkey = s.s_suppkey
+        WHERE EXISTS (SELECT 1 FROM v_li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM v_li l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_suppkey, s.s_name
+        """
+    ).collect()
+    out = QUERIES["sql_sole_blame_supplier"](spark, sf_dir).collect()
+    key = lambda r: (r.s_suppkey, r.s_name, r.numwait)  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, literal))
+
+
+def test_dominant_supplier_dominance_invariant(spark, sf_dir):
+    """Every reported supplier genuinely dominates: more than half the
+    part's recent volume, and never more than the whole."""
+    out = QUERIES["sql_dominant_part_supplier"](spark, sf_dir).collect()
+    assert out, "no dominant suppliers found"
+    for r in out:
+        assert r.supp_qty * 2 > r.part_qty
+        assert r.supp_qty <= r.part_qty

@@ -174,6 +174,9 @@ _BNLJ_ALLOWED = {
     "market_basket_pairs",   # 1-row order-count broadcast (support denominator)
     "stream_scd2_late_reconcile",  # 1-row head-day broadcast
     "user_lifecycle_weekly",  # 1-row max-week broadcast (churn frontier)
+    "sql_dormant_high_value",  # 1-row balance-threshold broadcast
+    "text_surprisal_score",   # 1-row corpus-token-total broadcast
+    "geo_grid_distance_join",  # 9-row neighbor-offset broadcast (3x3 cells)
 }
 _PY_ROW_ALLOWED = {"udf_python_scalar", "udtf_explode_custom"}  # §2.K escape hatches
 # Queries allowed an unbounded global sort (none expected; review any addition)
