@@ -906,3 +906,112 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_true").desc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+@query(
+    "agg_kmv_intersection",
+    oracle="""
+WITH pts AS (
+  SELECT DISTINCT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS h,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY h ASC, user_id ASC) AS rk
+  FROM pts),
+sk AS (SELECT * FROM ranked WHERE rk <= 64),
+tau AS (SELECT MAX(h) AS tau, COUNT(*) AS k_eff FROM sk),
+exact AS (SELECT COUNT(*) AS n_exact FROM pts WHERE in_a = 1 AND in_b = 1)
+SELECT 64 AS k, tau.k_eff, tau.tau,
+       CAST((SELECT COUNT(*) FROM sk WHERE in_a = 1 AND in_b = 1) AS BIGINT)
+         AS n_common,
+       exact.n_exact,
+       CASE WHEN tau.k_eff < 64
+            THEN CAST((SELECT COUNT(*) FROM pts) AS DOUBLE)
+            ELSE (64 - 1) * CAST(1152921504606846976 AS DOUBLE) / tau.tau
+       END AS est_union,
+       CASE WHEN tau.k_eff < 64
+            THEN CAST(exact.n_exact AS DOUBLE)
+            ELSE ((SELECT COUNT(*) FROM sk WHERE in_a = 1 AND in_b = 1)
+                  / CAST(64 AS DOUBLE))
+                 * ((64 - 1) * CAST(1152921504606846976 AS DOUBLE) / tau.tau)
+       END AS est_intersection
+FROM tau CROSS JOIN exact
+""",
+)
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k minimum values, Beyer et al.) distinct-and-intersection
+    sketch over the click/purchase user sets: keep the k=64 smallest
+    portable 60-bit hashes of the UNION; the k-th value tau estimates
+    union cardinality as (k-1)*2^60/tau, and the fraction of sketch
+    members belonging to both sets estimates Jaccard, hence the
+    intersection. One row out: estimate next to exact truth.
+
+    100 TB shape: the sketch is a bounded top-k by hash — per-partition
+    heaps then a 64-row merge, no global sort, no per-key state — and
+    KMV sketches merge by union-then-truncate, so per-day sketches roll
+    up exactly like the count-min cells (agg_count_min_sketch). When the
+    union has fewer than k distinct members the sketch IS the set and
+    both estimates collapse to the exact values (same CASE on both
+    engines — exercised at sf0.001 where only ~15 users exist).
+    Determinism: hash ties broken by user_id; all arithmetic either
+    integer or a single identical float expression."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("in_b"),
+        )
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    )
+    w = Window.orderBy(F.col("h").asc(), F.col("user_id").asc())
+    sk = ev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 64)
+    two60 = F.lit(1152921504606846976).cast("double")
+    agg = sk.agg(
+        F.max("h").alias("tau"),
+        F.count(F.lit(1)).alias("k_eff"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("n_common"),
+    )
+    totals = ev.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("n_exact"),
+    )
+    full = F.col("k_eff") >= 64
+    est_union = F.when(
+        ~full, F.col("n_union").cast("double")
+    ).otherwise(F.lit(64 - 1) * two60 / F.col("tau"))
+    est_inter = F.when(~full, F.col("n_exact").cast("double")).otherwise(
+        (F.col("n_common") / F.lit(64).cast("double"))
+        * (F.lit(64 - 1) * two60 / F.col("tau"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(totals))
+        .select(
+            F.lit(64).cast("int").alias("k"),
+            "k_eff",
+            "tau",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_exact").alias("n_exact"),
+            est_union.alias("est_union"),
+            est_inter.alias("est_intersection"),
+        )
+    )

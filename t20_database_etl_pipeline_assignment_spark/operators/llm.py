@@ -2706,3 +2706,70 @@ def text_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_milli_num DIV n_tokens").alias("surprisal_milli"),
         )
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT gr.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST((1000 * SUM(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS novelty_milli
+FROM grams gr JOIN first_seen fs ON gr.g = fs.g
+GROUP BY gr.doc_id
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the fraction of a doc's DISTINCT word
+    trigrams whose first corpus appearance (minimum doc_id — the stable
+    ingestion-order stand-in) is this document. Low novelty = the doc is
+    assembled from already-seen phrasing (boilerplate / near-dup tail);
+    high novelty = fresh text — the incremental-curation twin of the
+    span-dedup family (dedup_span_ngram flags the shared spans; this
+    scores the residual per doc).
+
+    Linear dataflow, same shape as dedup_span_ngram: one explode to
+    distinct (doc, gram), one groupBy-min over the gram key (Zipf-hot
+    grams reduce map-side), one co-partitioned join back on gram, one
+    doc_id fold. The ratio is exact integer milli-units (DIV). Docs with
+    fewer than three tokens have no trigram and are absent — the same
+    convention as the shingle family."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    tri = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 2),
+        F.zip_with(
+            F.slice(toks, 2, F.size(toks) - 2),
+            F.slice(toks, 3, F.size(toks) - 2),
+            lambda y, z: F.concat_ws(" ", y, z),
+        ),
+        lambda x, yz: F.concat_ws(" ", x, yz),
+    )
+    grams = d.select("doc_id", F.explode(tri).alias("g")).distinct()
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            (F.lit(1000) * novel).alias("_novel_milli_num"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("_novel_milli_num DIV n_grams").alias("novelty_milli"),
+        )
+    )
