@@ -831,8 +831,7 @@ WITH src AS (
          COUNT(*) AS n,
          CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
            AS cents,
-         CAST(SUM(o_orderkey * 2654435761 % 9007199254740881) AS BIGINT)
-           AS key_sig
+         bit_xor(hash(o_orderkey)) AS key_sig
   FROM orders GROUP BY 1),
 tgt AS (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
@@ -841,8 +840,7 @@ tgt AS (
              (o_totalprice + CASE WHEN o_orderkey % 5000 = 0
                                   THEN 0.01 ELSE 0.0 END) * 100 + 0.5)
            AS BIGINT)) AS BIGINT) AS cents,
-         CAST(SUM(o_orderkey * 2654435761 % 9007199254740881) AS BIGINT)
-           AS key_sig
+         bit_xor(hash(o_orderkey)) AS key_sig
   FROM orders GROUP BY 1)
 SELECT src.y AS part_year,
        src.n AS n_src, tgt.n AS n_tgt,
@@ -864,14 +862,18 @@ def dq_reconcile_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     affected partitions while clean partitions reconcile.
 
     Both sides reduce to one partial-aggregable pass each (counts, exact
-    scaled-integer sums, modular key signature — all order-independent),
+    scaled-integer sums, xor-folded key signature — all order-independent),
     then a tiny per-partition join. At 100 TB this is the cheap check that
     runs after EVERY load; row-level diffing only runs on partitions this
-    report flags."""
+    report flags. The key signature is bit_xor(xxhash64(key)), NOT a sum
+    of modular hashes: xor is order-independent and cannot overflow ANSI
+    longs no matter how many rows a partition holds (the sum variant
+    provably overflowed at sf1 — ~1.5 M orders x ~4.5e15 average terms;
+    same rationale as quality.py _star_contract's convergence signature).
+    Each engine compares its own src-vs-tgt signature, so only the
+    keys_match boolean needs cross-engine parity, not the hash itself."""
     o = table(spark, sf_dir, "orders")
-    key_sig = F.sum(
-        F.expr("o_orderkey * 2654435761 % 9007199254740881")
-    ).alias("key_sig")
+    key_sig = F.bit_xor(F.xxhash64("o_orderkey")).alias("key_sig")
     src = o.groupBy(F.year("o_orderdate").cast("long").alias("y")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(

@@ -2742,7 +2742,11 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id fold. The ratio is exact integer milli-units (DIV). Docs with
     fewer than three tokens have no trigram and are absent — the same
     convention as the shingle family."""
-    d = table(spark, sf_dir, "documents")
+    # Guard BEFORE slicing: a doc with <3 tokens (including empty text,
+    # whose split yields ['']) would give F.slice a negative length and
+    # crash the whole query; the oracle's range() just yields nothing for
+    # such docs, so dropping them matches by absence.
+    d = table(spark, sf_dir, "documents").filter(F.size(_tokens()) >= 3)
     toks = _tokens()
     tri = F.zip_with(
         F.slice(toks, 1, F.size(toks) - 2),

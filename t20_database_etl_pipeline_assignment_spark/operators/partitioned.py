@@ -30,6 +30,8 @@ partition filter from a filtered, broadcast month dimension at runtime.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,6 +40,15 @@ from ..registry import query
 from ..sources.staging import cached_df, index_cache_dir
 from ..sources.tables import table
 from .star import _SHIP_HI, _SHIP_LO, ORACLE_STAR
+
+# Coarse (month-granularity) bounds for the partition-directory predicate.
+# The inclusive upper month is derived from the EXCLUSIVE day bound minus
+# one day — exact whether or not _SHIP_HI is month-aligned (a naive
+# _SHIP_HI[:7] truncation would silently drop rows for a mid-month bound).
+_SHIP_LO_MONTH = _SHIP_LO[:7]
+_SHIP_HI_MONTH_INCL = (
+    _dt.date.fromisoformat(_SHIP_HI) - _dt.timedelta(days=1)
+).strftime("%Y-%m")
 
 _PART_SPECS = {
     # table -> (partition column, source column, format)
@@ -123,8 +134,8 @@ def sql_flagship_star_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame
     exact timestamp predicate still pushes into the row-group scan
     (PushedFilters). Identical results, ~36/83 of the I/O."""
     li = partitioned_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipmonth") >= _SHIP_LO[:7])
-        & (F.col("l_shipmonth") < _SHIP_HI[:7])
+        (F.col("l_shipmonth") >= _SHIP_LO_MONTH)
+        & (F.col("l_shipmonth") <= _SHIP_HI_MONTH_INCL)
         & (F.col("l_shipdate") >= F.lit(_SHIP_LO).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(_SHIP_HI).cast("timestamp"))
     )

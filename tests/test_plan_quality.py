@@ -177,6 +177,7 @@ _BNLJ_ALLOWED = {
     "sql_dormant_high_value",  # 1-row balance-threshold broadcast
     "text_surprisal_score",   # 1-row corpus-token-total broadcast
     "geo_grid_distance_join",  # 9-row neighbor-offset broadcast (3x3 cells)
+    "agg_kmv_intersection",  # 1-row per-side KMV-sketch broadcast (bounded top-64)
 }
 _PY_ROW_ALLOWED = {"udf_python_scalar", "udtf_explode_custom"}  # §2.K escape hatches
 # Queries allowed an unbounded global sort (none expected; review any addition)

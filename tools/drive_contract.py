@@ -37,6 +37,30 @@ TABLES = [
 ]
 
 
+def oracle_con(sf: str) -> duckdb.DuckDBPyConnection:
+    """Oracle connection with explicit resource settings. The round-5 sf1
+    run lost graph_pagerank/graph_triangle_count to ORACLE-side temp-disk
+    exhaustion (DuckDB's default memory_limit made the big recursive-CTE
+    oracles spill to the default cwd temp dir until the volume filled).
+    Give DuckDB most of RAM so it rarely spills, and when it must, a
+    dedicated temp dir we can place on the roomy volume and always clean
+    up. Both env-overridable for constrained hosts."""
+    con = duckdb.connect()
+    mem = os.environ.get("T20_ORACLE_MEM", "96GB")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = os.environ.get(
+        "T20_ORACLE_TMP", os.path.join(repo, ".tmp", "duckdb_oracle_tmp")
+    )
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{tmp}'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return con
+
+
 def canon(pdf: pd.DataFrame) -> str:
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
@@ -91,11 +115,7 @@ def main() -> int:
         t0 = time.time()
         try:
             spdf = queries[qid](spark, sf).toPandas()
-            con = duckdb.connect()
-            for t in TABLES:
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-                )
+            con = oracle_con(sf)
             opdf = con.execute(oracles[qid]).df()
             con.close()
             if len(spdf) == len(opdf) and canon(spdf) == canon(opdf):
