@@ -152,6 +152,54 @@ def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("scan_avro", oracle="SELECT * FROM customer")
+def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro landing-zone source — the last README.md:10 "multiple sources"
+    format, served WITHOUT the spark-avro jar: a pure-Python object-
+    container reader (sources/avro_io.py, spec-faithful: zigzag varints,
+    deflate codec, sync-marker-delimited blocks) behind the custom Python
+    DataSource API (sources/avro_source.py). Round-trips the customer dim
+    through TWO container files — one null-codec, one deflate — and reads
+    them back with block-level InputPartitions, the same split model the
+    JVM connector uses: Avro blocks are length-prefixed and sync-
+    terminated, so one 100 TB container file still scans in parallel
+    (contrast scan_csv_gzip's unsplittable-codec note). The stage-side
+    toPandas is a bounded dim write for the differential test only; a
+    production writer emits one container per partition via
+    mapInPandas."""
+    from ..sources import avro_io
+    from ..sources.avro_source import AvroContainerDataSource
+
+    path = _tmp(sf_dir, "avro")
+    os.makedirs(path, exist_ok=True)
+    pdf = table(spark, sf_dir, "customer").toPandas()
+    schema = {
+        "type": "record",
+        "name": "customer",
+        "fields": [
+            {"name": "c_custkey", "type": "long"},
+            {"name": "c_name", "type": "string"},
+            {"name": "c_nationkey", "type": "int"},
+            {"name": "c_acctbal", "type": "double"},
+            {"name": "c_mktsegment", "type": "string"},
+        ],
+    }
+    recs = pdf.to_dict("records")
+    mid = len(recs) // 2
+    avro_io.write_container(
+        os.path.join(path, "part-0.avro"), schema, recs[:mid],
+        codec="null", records_per_block=256,
+    )
+    avro_io.write_container(
+        os.path.join(path, "part-1.avro"), schema, recs[mid:],
+        codec="deflate", records_per_block=256,
+    )
+    spark.dataSource.register(AvroContainerDataSource)
+    return (
+        spark.read.format("t20_avro").option("blocks_per_split", "2").load(path)
+    )
+
+
 @query("scan_orc", oracle="SELECT * FROM nation")
 def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink round-trip — Spark's second first-class columnar

@@ -1,0 +1,272 @@
+"""Avro container reader/writer (sources/avro_io.py) and the t20_avro
+Spark DataSource (sources/avro_source.py): spec round-trips for the full
+supported type lattice, both codecs, block indexing, malformed-input
+rejection, and Spark-side block-split planning."""
+
+from __future__ import annotations
+
+import io
+import os
+import zlib
+
+import pytest
+
+from t20_database_etl_pipeline_assignment_spark.sources import avro_io
+from t20_database_etl_pipeline_assignment_spark.sources.avro_source import (
+    AvroContainerDataSource,
+)
+
+NESTED_SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "small", "type": "int"},
+        {"name": "ratio", "type": "double"},
+        {"name": "ratio32", "type": "float"},
+        {"name": "name", "type": "string"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "maybe", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "pos",
+            "type": {
+                "type": "record",
+                "name": "pos_t",
+                "fields": [
+                    {"name": "x", "type": "long"},
+                    {"name": "y", "type": "long"},
+                ],
+            },
+        },
+        {
+            "name": "color",
+            "type": {"type": "enum", "name": "color_t", "symbols": ["R", "G", "B"]},
+        },
+        {"name": "fp", "type": {"type": "fixed", "name": "fp_t", "size": 4}},
+    ],
+}
+
+
+def _nested_records(n: int) -> list[dict]:
+    return [
+        {
+            "id": i,
+            "flag": i % 2 == 0,
+            "small": i - 50,
+            "ratio": i / 7.0,
+            "ratio32": float(i),
+            "name": f"doc-{i}" * (i % 3),
+            "raw": bytes([i % 256, 0, 255]),
+            "maybe": None if i % 3 == 0 else f"m{i}",
+            "tags": [f"t{j}" for j in range(i % 4)],
+            "attrs": {f"k{j}": i * j for j in range(i % 3)},
+            "pos": {"x": i, "y": -i},
+            "color": "RGB"[i % 3],
+            "fp": (i).to_bytes(4, "big"),
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip_nested_types(tmp_path, codec):
+    recs = _nested_records(100)
+    p = str(tmp_path / "t.avro")
+    avro_io.write_container(p, NESTED_SCHEMA, recs, codec=codec, records_per_block=17)
+    assert list(avro_io.read_records(p)) == recs
+
+
+def test_deterministic_bytes(tmp_path):
+    recs = _nested_records(20)
+    a, b = str(tmp_path / "a.avro"), str(tmp_path / "b.avro")
+    avro_io.write_container(a, NESTED_SCHEMA, recs)
+    avro_io.write_container(b, NESTED_SCHEMA, recs)
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_block_index_shapes(tmp_path):
+    p = str(tmp_path / "t.avro")
+    avro_io.write_container(
+        p, NESTED_SCHEMA, _nested_records(100), records_per_block=17
+    )
+    schema, codec, sync, blocks = avro_io.index_blocks(p)
+    assert len(sync) == 16 and codec == "null"
+    assert [n for _, n, _ in blocks] == [17, 17, 17, 17, 17, 15]
+    # offsets strictly increase and data regions don't overlap the sync
+    prev_end = 0
+    for off, _, nbytes in blocks:
+        assert off >= prev_end
+        prev_end = off + nbytes + 16
+
+
+def test_zigzag_extremes(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "edge",
+        "fields": [{"name": "v", "type": "long"}],
+    }
+    vals = [0, -1, 1, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+    p = str(tmp_path / "edge.avro")
+    avro_io.write_container(p, schema, [{"v": v} for v in vals])
+    assert [r["v"] for r in avro_io.read_records(p)] == vals
+
+
+def test_empty_and_unicode_strings(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "s",
+        "fields": [{"name": "t", "type": "string"}],
+    }
+    vals = ["", "héllo wörld", "𝒰nicode☃", "\t\n"]
+    p = str(tmp_path / "s.avro")
+    avro_io.write_container(p, schema, [{"t": v} for v in vals])
+    assert [r["t"] for r in avro_io.read_records(p)] == vals
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = tmp_path / "bad.avro"
+    p.write_bytes(b"PAR1" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="magic"):
+        list(avro_io.read_records(str(p)))
+
+
+def test_unsupported_codec_rejected(tmp_path):
+    p = str(tmp_path / "t.avro")
+    avro_io.write_container(p, NESTED_SCHEMA, _nested_records(5))
+    data = open(p, "rb").read().replace(b"null", b"lz99", 1)
+    bad = tmp_path / "snappy.avro"
+    bad.write_bytes(data)
+    with pytest.raises(NotImplementedError, match="lz99"):
+        list(avro_io.read_records(str(bad)))
+
+
+def test_corrupt_sync_rejected(tmp_path):
+    p = str(tmp_path / "t.avro")
+    avro_io.write_container(p, NESTED_SCHEMA, _nested_records(40), records_per_block=10)
+    data = bytearray(open(p, "rb").read())
+    data[-1] ^= 0xFF  # flip last sync byte
+    bad = tmp_path / "torn.avro"
+    bad.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="sync"):
+        avro_io.index_blocks(str(bad))
+
+
+def test_truncated_block_rejected(tmp_path):
+    p = str(tmp_path / "t.avro")
+    avro_io.write_container(p, NESTED_SCHEMA, _nested_records(40), records_per_block=40)
+    data = open(p, "rb").read()
+    torn = tmp_path / "short.avro"
+    torn.write_bytes(data[: len(data) - 20])
+    with pytest.raises((ValueError, EOFError)):
+        avro_io.index_blocks(str(torn))
+
+
+def test_deflate_is_raw_per_spec(tmp_path):
+    """The spec says deflate blocks carry RAW deflate streams (no zlib
+    header) — pin that so a writer/reader pair can't silently agree on
+    the wrong framing."""
+    p = str(tmp_path / "t.avro")
+    schema = {
+        "type": "record",
+        "name": "s",
+        "fields": [{"name": "t", "type": "string"}],
+    }
+    avro_io.write_container(p, schema, [{"t": "x" * 100}], codec="deflate")
+    _, codec, _, blocks = avro_io.index_blocks(p)
+    off, _, nbytes = blocks[0]
+    raw = open(p, "rb").read()[off : off + nbytes]
+    # raw-deflate inflates; zlib-wrapped would raise here
+    assert b"x" * 100 in zlib.decompress(raw, -15)
+    with pytest.raises(zlib.error):
+        zlib.decompress(raw)  # NOT a zlib-wrapped stream
+
+
+def test_spark_ddl_mapping():
+    assert avro_io.spark_ddl(NESTED_SCHEMA) == (
+        "id bigint, flag boolean, small int, ratio double, ratio32 float, "
+        "name string, raw binary, maybe string, tags array<string>, "
+        "attrs map<string, bigint>, pos struct<x: bigint, y: bigint>, "
+        "color string, fp binary"
+    )
+
+
+def test_spark_scan_block_splits(spark, tmp_path):
+    """End-to-end through Spark: 2 files x 6 blocks at blocks_per_split=2
+    must plan 6 InputPartitions and return every record exactly once,
+    nested columns included (maps excluded: Spark's Arrow bridge takes
+    list/struct fine; the map face is covered by the pure-Python tests)."""
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "ratio", "type": "double"},
+            {"name": "maybe", "type": ["null", "string"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {
+                "name": "pos",
+                "type": {
+                    "type": "record",
+                    "name": "pos_t",
+                    "fields": [
+                        {"name": "x", "type": "long"},
+                        {"name": "y", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    recs = [
+        {
+            "id": i,
+            "name": f"n{i}",
+            "ratio": i / 3.0,
+            "maybe": None if i % 2 else f"m{i}",
+            "tags": [f"t{j}" for j in range(i % 3)],
+            "pos": {"x": i, "y": 2 * i},
+        }
+        for i in range(120)
+    ]
+    d = str(tmp_path)
+    avro_io.write_container(
+        os.path.join(d, "a.avro"), schema, recs[:60], records_per_block=10
+    )
+    avro_io.write_container(
+        os.path.join(d, "b.avro"), schema, recs[60:],
+        codec="deflate", records_per_block=10,
+    )
+    spark.dataSource.register(AvroContainerDataSource)
+    df = spark.read.format("t20_avro").option("blocks_per_split", "2").load(d)
+    assert df.rdd.getNumPartitions() == 6
+    rows = sorted(df.collect(), key=lambda r: r.id)
+    assert len(rows) == 120
+    assert rows[7].name == "n7" and rows[7].maybe is None
+    assert rows[8].tags == ["t0", "t1"] and rows[8].pos.y == 16
+    assert rows[119].ratio == 119 / 3.0
+
+
+def test_spark_schema_inference(spark, tmp_path):
+    p = str(tmp_path / "one.avro")
+    avro_io.write_container(
+        p,
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "v", "type": ["null", "double"]},
+            ],
+        },
+        [{"k": 1, "v": 2.5}, {"k": 2, "v": None}],
+    )
+    spark.dataSource.register(AvroContainerDataSource)
+    df = spark.read.format("t20_avro").load(p)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("k", "bigint"),
+        ("v", "double"),
+    ]
+    assert {(r.k, r.v) for r in df.collect()} == {(1, 2.5), (2, None)}
