@@ -23,6 +23,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+def shuffle_partitions_for(sf_dir: str) -> int:
+    """Volume-scaled shuffle-partition policy — the institutionalized form
+    of the measured sf10 spill remedy (SCALE.md: at 100x grain, 16
+    partitions spill market_basket_pairs ~3.2 GB to disk; 64 partitions
+    halve its wall and cut spill by a third). Target ~32 MB of source
+    parquet per shuffle partition, floor 16 (the measured sweet spot at
+    sf<=1 where scheduling overhead dominates), next power of two, capped
+    at 1024. sf0.1/sf1 -> 16 (unchanged), sf10 -> 64 (the measured
+    remedy). On a real cluster the same rule runs against the catalog's
+    table-size stats; AQE still coalesces/splits at runtime — this sets
+    the pre-AQE grain so one partition's working set fits executor
+    memory."""
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return 16
+    n, want = 16, max(1, total // (32 << 20))
+    while n < want and n < 1024:
+        n *= 2
+    return n
+
+
 def get_spark(app_name: str = "t20-etl-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     builder = (

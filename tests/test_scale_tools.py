@@ -1,0 +1,79 @@
+"""Scale-tooling units: the volume-scaled shuffle-partition policy
+(session.shuffle_partitions_for) and the Zipf-hot-key fixture generator
+(gen_scale_fixture.generate_skew) that feeds tools/bench_skew.py."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from t20_database_etl_pipeline_assignment_spark.session import shuffle_partitions_for
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+)
+
+from gen_scale_fixture import generate_skew  # noqa: E402
+
+
+def test_policy_floor_at_small_sf():
+    # sf0.001 / sf0.01 / sf0.1 are all far below 16 * 32 MB — policy floor
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        assert shuffle_partitions_for(f"/root/testdata/{sf}") == 16
+
+
+def test_policy_matches_measured_sf10_remedy(tmp_path):
+    # synthesize a directory whose parquet payload is ~1.8 GB without
+    # writing it: policy reads sizes only, so sparse files suffice
+    f = tmp_path / "lineitem.parquet"
+    with open(f, "wb") as fh:
+        fh.truncate(1_800_000_000)
+    assert shuffle_partitions_for(str(tmp_path)) == 64
+
+
+def test_policy_capped_and_missing_dir():
+    assert shuffle_partitions_for("/nonexistent/path") == 16
+
+
+def test_policy_cap_at_huge_volume(tmp_path):
+    f = tmp_path / "big.parquet"
+    with open(f, "wb") as fh:
+        fh.truncate(64 * (32 << 20) * 1024)  # far past the cap
+    assert shuffle_partitions_for(str(tmp_path)) == 1024
+
+
+def test_generate_skew_remaps_exactly_one_in_five(tmp_path):
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "skew")
+    generate_skew(src, dst, hot_every=5)
+
+    orig = pq.read_table(os.path.join(src, "orders.parquet"))
+    skew = pq.read_table(os.path.join(dst, "orders.parquet"))
+    assert skew.num_rows == orig.num_rows
+    # non-key columns byte-identical; orderkeys unchanged
+    assert skew.column("o_orderkey").equals(orig.column("o_orderkey"))
+    assert skew.column("o_totalprice").equals(orig.column("o_totalprice"))
+
+    hot = pc.min(orig.column("o_custkey")).as_py()
+    ok = orig.column("o_orderkey").to_pylist()
+    old = orig.column("o_custkey").to_pylist()
+    new = skew.column("o_custkey").to_pylist()
+    for k, a, b in zip(ok, old, new):
+        assert b == (hot if k % 5 == 0 else a)
+    # the hot key owns >= 20% (its own original orders plus the remap)
+    share = sum(1 for v in new if v == hot) / len(new)
+    assert share >= 0.2
+
+    # referential integrity: hot key exists in the (copied) customer dim
+    cust = pq.read_table(os.path.join(dst, "customer.parquet"))
+    assert hot in set(cust.column("c_custkey").to_pylist())
+
+    # every other table is a byte-for-byte copy
+    for t in ("customer", "lineitem", "nation"):
+        a = open(os.path.join(src, f"{t}.parquet"), "rb").read()
+        b = open(os.path.join(dst, f"{t}.parquet"), "rb").read()
+        assert a == b, t

@@ -244,6 +244,17 @@ def time_queries(
     prune_stale_generations(sf_dir)
     spark = get_spark("t20-bench-scaling")
     spark.sparkContext.setLogLevel("ERROR")
+    # volume-scaled shuffle-partition policy (session.py) — the recorded
+    # telemetry reflects the documented policy, not a fixed toy-scale knob;
+    # an explicit env override still wins for A/B runs
+    if "T20_SHUFFLE_PARTITIONS" not in os.environ:
+        from t20_database_etl_pipeline_assignment_spark.session import (
+            shuffle_partitions_for,
+        )
+
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions_for(sf_dir))
+        )
     t0 = time.perf_counter()
     for q in WARM:
         QUERIES[q](spark, sf_dir).write.format("noop").mode("overwrite").save()
