@@ -29,13 +29,25 @@ def scaled_long(col: Column, scale: int) -> Column:
 
 
 def money_sum(col: Column, scale: int = 100) -> Column:
-    """Order-insensitive exact SUM of a fixed-decimal double, as double."""
-    return F.sum(scaled_long(col, scale)) / F.lit(float(scale))
+    """Order-insensitive exact SUM of a fixed-decimal double, as double.
+
+    The accumulator is DECIMAL(38,0), not BIGINT: at 100 TB grain
+    (~10^11 rows × ~10^9 scaled units) a long accumulator overflows
+    int64 — the same overflow class as the round-5 dq_reconcile
+    signature bug, closed here for every money aggregate at once.
+    DECIMAL(38,0) mirrors DuckDB's HUGEINT sum semantics; the final
+    decimal→double conversion rounds to nearest (matching the oracle's
+    VARCHAR-hop, see sql_money_sum), then ONE IEEE division — still
+    bit-identical across engines, now at any group size."""
+    return F.sum(scaled_long(col, scale).cast("decimal(38,0)")) / F.lit(float(scale))
 
 
 def money_avg(col: Column, scale: int = 100) -> Column:
-    """Order-insensitive exact AVG of a fixed-decimal double, as double."""
-    return F.sum(scaled_long(col, scale)) / (F.lit(float(scale)) * F.count(F.lit(1)))
+    """Order-insensitive exact AVG of a fixed-decimal double, as double.
+    DECIMAL(38,0) accumulator — see money_sum."""
+    return F.sum(scaled_long(col, scale).cast("decimal(38,0)")) / (
+        F.lit(float(scale)) * F.count(F.lit(1))
+    )
 
 
 # ---- event-time helpers (TIMESTAMP_NTZ-safe) ------------------------------
@@ -81,8 +93,21 @@ def sql_scaled_long(expr: str, scale: int) -> str:
 
 
 def sql_money_sum(expr: str, scale: int = 100) -> str:
-    return f"(SUM({sql_scaled_long(expr, scale)}) / {float(scale)})"
+    """DuckDB twin of money_sum. SUM(BIGINT) is HUGEINT in DuckDB (128-bit
+    — already overflow-free); the VARCHAR hop makes the HUGEINT→DOUBLE
+    conversion round-to-nearest like Spark's decimal→double, instead of
+    DuckDB's truncating direct cast — the one-ulp divergence class that
+    only appears once sums exceed 2^53 (see analytics.py agg_corr_matrix,
+    where this pattern was first pinned)."""
+    return (
+        f"(CAST(CAST(SUM({sql_scaled_long(expr, scale)}) AS VARCHAR) AS DOUBLE)"
+        f" / {float(scale)})"
+    )
 
 
 def sql_money_avg(expr: str, scale: int = 100) -> str:
-    return f"(SUM({sql_scaled_long(expr, scale)}) / ({float(scale)} * COUNT(*)))"
+    """DuckDB twin of money_avg — VARCHAR-hop rounding, see sql_money_sum."""
+    return (
+        f"(CAST(CAST(SUM({sql_scaled_long(expr, scale)}) AS VARCHAR) AS DOUBLE)"
+        f" / ({float(scale)} * COUNT(*)))"
+    )
