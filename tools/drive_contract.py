@@ -8,8 +8,12 @@ harness missed and the driver's own session exposed. Anything that passes
 here passes the driver.
 
 Usage:
-    python tools/drive_contract.py [--json out.json] [sf_dir] [qid ...]
+    python tools/drive_contract.py [--json out.json] [--resume] [sf_dir] [qid ...]
 Defaults: sf_dir=/root/testdata/sf0.01, all queries.
+--resume (requires --json): carry over "ok" records from an existing
+artifact at the same sf_dir and run only the rest — a big-fixture run
+killed mid-way (e.g. a JVM OOM) continues instead of restarting. Failed/
+errored queries are always re-run.
 Exit code 0 iff every checked query matches its oracle by row count and
 order-insensitive value hash (repr-level equality => bit-exact).
 --json writes the per-query results as an auditable artifact (committed
@@ -73,6 +77,27 @@ def canon(pdf: pd.DataFrame) -> str:
     return "\n".join(sorted(repr(t) for t in pdf.itertuples(index=False, name=None)))
 
 
+def _dump(json_path: str, sf: str, qids: list[str], fails: list[str],
+          records: dict[str, dict], t_all: float) -> None:
+    tmp = json_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "sf_dir": sf,
+                "n_queries": len(qids),
+                "n_passed": len([q for q in qids
+                                 if records.get(q, {}).get("status") == "ok"]),
+                "fails": fails,
+                "total_sec": round(time.time() - t_all, 1),
+                "queries": records,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    os.replace(tmp, json_path)
+
+
 def main() -> int:
     args = sys.argv[1:]
     json_path = None
@@ -84,8 +109,26 @@ def main() -> int:
             return 2
         json_path = args[i + 1]
         del args[i : i + 2]
+    resume = "--resume" in args
+    if resume:
+        args.remove("--resume")
     sf = args[0] if args else "/root/testdata/sf0.01"
     only = args[1:]
+
+    carried: dict[str, dict] = {}
+    if resume:
+        if not json_path:
+            print("--resume requires --json", file=sys.stderr)
+            return 2
+        try:
+            with open(json_path) as f:
+                prev = json.load(f)
+            if prev.get("sf_dir") == sf:
+                carried = {q: r for q, r in prev.get("queries", {}).items()
+                           if r.get("status") == "ok"}
+        except (OSError, ValueError):
+            pass
+        print(f"resume: carrying {len(carried)} ok records", flush=True)
 
     # startup-only: drop index-cache trees of previous fixture generations
     from t20_database_etl_pipeline_assignment_spark.sources.staging import (
@@ -108,10 +151,14 @@ def main() -> int:
     queries = ep.queries()
     oracles = ep.oracle_sql()
     qids = only or list(queries)
+    # drop stale carried records for queries no longer registered
+    carried = {q: r for q, r in carried.items() if q in queries}
     fails: list[str] = []
-    records: dict[str, dict] = {}
+    records: dict[str, dict] = dict(carried)
     t_all = time.time()
     for qid in qids:
+        if qid in carried:
+            continue
         t0 = time.time()
         try:
             spdf = queries[qid](spark, sf).toPandas()
@@ -132,22 +179,11 @@ def main() -> int:
             print(f"FAIL {qid}: {type(ex).__name__}: {str(ex)[:200]}", flush=True)
             records[qid] = {"status": "err",
                             "error": f"{type(ex).__name__}: {str(ex)[:200]}"}
+        if json_path:  # checkpoint after every query — crash-resumable
+            _dump(json_path, sf, qids, fails, records, t_all)
 
     if json_path:
-        with open(json_path, "w") as f:
-            json.dump(
-                {
-                    "sf_dir": sf,
-                    "n_queries": len(qids),
-                    "n_passed": len(qids) - len(fails),
-                    "fails": fails,
-                    "total_sec": round(time.time() - t_all, 1),
-                    "queries": records,
-                },
-                f,
-                indent=1,
-                sort_keys=True,
-            )
+        _dump(json_path, sf, qids, fails, records, t_all)
     print(
         f"\n{len(qids) - len(fails)}/{len(qids)} passed in {time.time() - t_all:.0f}s; "
         f"fails: {fails}",
