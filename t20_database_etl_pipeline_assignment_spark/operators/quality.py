@@ -393,12 +393,21 @@ def _cached_sym_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_SCALE = 10**12
 _PR_ITERS = 3
 
+# MATERIALIZED hints matter at scale: DuckDB 1.0 inlines (re-expands) a
+# CTE at every reference, and the iterative consumers below (pagerank's
+# r1..r3, label propagation's l1..l3) reference `sym` once per round —
+# without the hint each round re-evaluates the whole shingle self-join,
+# nested multiplicatively through the round chain. At sf1 that blew past
+# a 32 GB memory limit into ~71 GB of temp spill and exhausted the disk;
+# materialized, the graph is built ONCE (seconds — the same join the
+# connected-components oracle runs) and every round reads the tiny edge
+# list. Pure optimizer hint: results are identical.
 _SQL_JACCARD_GRAPH = """
-docs_in AS (
+docs_in AS MATERIALIZED (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000, text FROM documents),
-shing AS (
+shing AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, len(toks) - 1),
                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
@@ -413,7 +422,7 @@ edges AS (
   JOIN sizes sa ON doc1 = sa.doc_id
   JOIN sizes sb ON doc2 = sb.doc_id
   WHERE i / (1.0 * (sa.sz + sb.sz - i)) >= 0.6),
-sym AS (
+sym AS MATERIALIZED (
   SELECT doc1 AS src, doc2 AS dst FROM edges
   UNION ALL
   SELECT doc2 AS src, doc1 AS dst FROM edges)
