@@ -462,7 +462,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SALT_BUCKETS = 8
+_SALT_BUCKETS = 32
 
 
 @query(
@@ -478,31 +478,71 @@ GROUP BY n_name
 """,
 )
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-mitigated join via explicit key salting — the manual counterpart
+    """Skew-mitigated join via TARGETED key salting — the manual counterpart
     to AQE's skew-join split, for when a single hot key (a celebrity user, a
     default/null-like key) overwhelms one reducer at 100 TB.
 
-    Mechanics: the large (probe) side gets a deterministic per-row salt in
-    [0, 8); the small/hot (build) side is replicated once per salt value
-    (explode of an 8-element range — 8× a dim, not 8× the fact table). The
-    join key becomes (key, salt), spreading each hot key over 8 reducers.
+    Round-6 skew-tier measurement (BENCH_SCALING.json → skew) showed why
+    blanket salting is the wrong production shape: replicating the WHOLE
+    dim once per salt bucket raised every reducer's median (p50 0.41→0.56 s
+    on the hot fixture) while the hot key still spread over only
+    `_SALT_BUCKETS` of the shuffle's partitions. Targeted form: one cheap
+    partial-aggregable census pass finds the keys whose row count exceeds a
+    fair bucket share (> total/B); ONLY rows carrying a hot key get a
+    deterministic per-row salt in [0, B), and ONLY the hot keys' dim rows
+    are replicated B× (a handful of rows, not the dim — at 100 TB a
+    1.5 B-row dim cannot be blanket-replicated, while hot-keys × B stays
+    trivially broadcastable). Cold keys keep salt 0, so their reducer
+    placement and per-task cost are IDENTICAL to the unsalted join. The
+    join key becomes (key, salt), spreading each hot key over B reducers.
     Results are identical to the unsalted join — the oracle checks exactly
     that. Salt is xxhash64-derived from the row's own keys: deterministic,
-    no RNG, stable under retries/speculative execution.
+    no RNG, stable under retries/speculative execution. At 100 TB the
+    census comes from table stats or a 0.1 % sample instead of an exact
+    pass; exact keeps this self-contained and the threshold semantics are
+    the same.
     """
-    o = table(spark, sf_dir, "orders").withColumn(
-        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(_SALT_BUCKETS)).cast("int")
+    o = table(spark, sf_dir, "orders")
+    # hot-key census: keys owning more than a fair bucket share of rows
+    total = o.agg(F.count(F.lit(1)).alias("n_total"))  # lazy 1-row broadcast
+    hot = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_key"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_key") * _SALT_BUCKETS > F.col("n_total"))
+        .select(F.col("o_custkey").alias("hot_key"), F.lit(True).alias("is_hot"))
+    )
+    op = (
+        o.join(F.broadcast(hot), o["o_custkey"] == F.col("hot_key"), "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot"),
+                F.pmod(F.xxhash64("o_orderkey"), F.lit(_SALT_BUCKETS)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("hot_key", "is_hot")
     )
     c = (
         table(spark, sf_dir, "customer")
         .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(hot), F.col("c_custkey") == F.col("hot_key"), "left")
         .withColumn(
-            "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1)))
+            "salt",
+            F.explode(
+                F.when(
+                    F.col("is_hot"),
+                    F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
         )
+        .drop("hot_key", "is_hot")
     )
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        o.join(c, on=[o["o_custkey"] == c["c_custkey"], o["salt"] == c["salt"]])
+        op.join(c, on=[op["o_custkey"] == c["c_custkey"], op["salt"] == c["salt"]])
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(

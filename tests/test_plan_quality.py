@@ -178,6 +178,7 @@ _BNLJ_ALLOWED = {
     "text_surprisal_score",   # 1-row corpus-token-total broadcast
     "geo_grid_distance_join",  # 9-row neighbor-offset broadcast (3x3 cells)
     "agg_kmv_intersection",  # 1-row per-side KMV-sketch broadcast (bounded top-64)
+    "join_skew_salted",      # 1-row total-count broadcast (hot-key threshold)
 }
 _PY_ROW_ALLOWED = {"udf_python_scalar", "udtf_explode_custom"}  # §2.K escape hatches
 # Queries allowed an unbounded global sort (none expected; review any addition)
