@@ -2777,3 +2777,71 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_novel_milli_num DIV n_grams").alias("novelty_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_coverage — per-doc OOV rate against a corpus-derived vocabulary
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok ASC LIMIT 256),
+per AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+  GROUP BY t.doc_id)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST((1000 * n_oov) // n_tokens AS BIGINT) AS oov_milli
+FROM per
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit (reference README.md:10-13 "data
+    cleansing and validation" on the corpus workload): derive the top-256
+    corpus vocabulary (count DESC, token ASC — the tie at the boundary is
+    broken textually, so both engines pick the identical set) and score
+    every document's out-of-vocabulary occupancy in exact integer
+    milli-units. High OOV = text the tokenizer will shred into bytes —
+    the cheap pre-training proxy for "will this doc tokenize well".
+
+    Scale shape: the corpus-wide token count is one partial-aggregable
+    explode→groupBy (map-side combine absorbs the Zipf head before the
+    shuffle); the vocabulary is a TakeOrderedAndProject top-k (per-
+    partition heaps, never a global sort) and is broadcast — the 100 TB
+    token stream joins a fixed 256-row build side, so the OOV pass adds
+    zero extra shuffle beyond the per-doc groupBy it already owes. At
+    real vocab sizes (32-128 k) the broadcast is still KBs. Determinism:
+    counts and the DIV ratio are exact integers end to end."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        cnt.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(256)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.expr("(1000 * n_oov) DIV n_tokens").alias("oov_milli"),
+    )

@@ -870,3 +870,72 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     ).select(F.col("degree").cast("long").alias("degree"), "n_nodes")
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_canonical — survivor selection over the near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+WITH RECURSIVE {_SQL_JACCARD_GRAPH},
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM docs_in
+  UNION
+  SELECT s.dst AS node, r.lbl
+  FROM reach r JOIN sym s ON s.src = r.node),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+real AS (
+  SELECT c.doc_id, c.component, d.n_chars
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+  WHERE c.doc_id < 1000000),
+canon AS (
+  SELECT component, doc_id AS canonical_id FROM (
+    SELECT component, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM real) WHERE rn = 1)
+SELECT r.doc_id, r.component, c.canonical_id,
+       CAST(r.doc_id = c.canonical_id AS BIGINT) AS is_kept
+FROM real r JOIN canon c ON r.component = c.component
+""",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION step of near-dup dedup (reference README.md:10-13 "data
+    cleansing" completed to a decision): given the connected components of
+    the 3-gram-Jaccard >= 0.6 similarity graph (cluster_connected_components,
+    same persisted .index_cache artifact), elect one canonical survivor per
+    cluster — longest document wins, ties broken by minimum doc_id — and
+    emit the full (doc_id, component, canonical_id, is_kept) verdict table
+    a downstream filter or lineage audit consumes. Detection says who is
+    similar; THIS says who survives, which is what the 100 TB curation
+    pipeline actually writes back.
+
+    Scale shape: component labels come from the O(log n) large-star/
+    small-star contraction (never diameter-bound label walks); the
+    survivor election is ONE partial-aggregable groupBy-argmax
+    (max over a (n_chars, -doc_id) struct — no window, no per-cluster
+    sort) plus one equi-join back on the component key, co-partitioned
+    with the labeling join before it. Nothing beyond the per-cluster
+    1-row winners table shuffles twice. Exact integer comparisons end to
+    end; the oracle replays the identical election with a deterministic
+    ROW_NUMBER over the recursive-CTE components."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = cluster_connected_components(spark, sf_dir)
+    real = comp.filter(F.col("doc_id") < F.lit(1000000)).join(d, "doc_id")
+    best = real.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("nid"))
+        ).alias("b")
+    )
+    canon = best.select(
+        "component", (-F.col("b.nid")).cast("long").alias("canonical_id")
+    )
+    return real.join(canon, "component").select(
+        "doc_id",
+        "component",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).cast("long").alias("is_kept"),
+    )
