@@ -673,3 +673,22 @@ def test_decode_audio_wav_and_features(spark):
         assert got[i].peak == max(abs(v) for v in vals)
         assert got[i].rms == math.isqrt(sum(v * v for v in vals) // len(vals))
         assert got[i].duration_ms == 9 * 1000 // 8000
+
+
+def test_vocab_coverage_model(spark, sf_dir):
+    """Pandas replay of the whole operator: identical top-256 vocabulary
+    (count DESC, token ASC) and identical per-doc token/OOV counts."""
+    import pandas as pd
+    from collections import Counter
+
+    out = QUERIES["text_vocab_coverage"](spark, sf_dir).toPandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cnt = Counter(tok for t in docs.text for tok in t.split(" "))
+    vocab = {w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:256]}
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        n_oov = sum(1 for t in toks if t not in vocab)
+        row = out.loc[r.doc_id]
+        assert row.n_tokens == len(toks)
+        assert row.n_oov == n_oov
+        assert row.oov_milli == 1000 * n_oov // len(toks)

@@ -186,3 +186,22 @@ def test_centroid_distance_ranks_true_outliers(spark, sf_dir):
         by_label.setdefault(r.label, []).append(r.dist)
     for label, dists in by_label.items():
         assert len(dists) == 5
+
+
+def test_cluster_canonical_election_model(spark, sf_dir):
+    """Full pandas replay of the survivor election: exactly one survivor
+    per component, the survivor self-elects, and it is the (n_chars DESC,
+    doc_id ASC) maximum of its cluster — the same ordering the oracle's
+    ROW_NUMBER uses."""
+    import pandas as pd
+
+    out = QUERIES["dedup_cluster_canonical"](spark, sf_dir).toPandas()
+    assert len(out) and (out.doc_id < 1000000).all()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    m = out.merge(docs, on="doc_id", validate="one_to_one")
+    for comp, grp in m.groupby("component"):
+        kept = grp[grp.is_kept == 1]
+        assert len(kept) == 1
+        winner = grp.sort_values(["n_chars", "doc_id"], ascending=[False, True]).iloc[0]
+        assert (grp.canonical_id == winner.doc_id).all()
+        assert kept.iloc[0].doc_id == winner.doc_id
