@@ -378,3 +378,22 @@ def test_lint_smj_small_side_eligibility(spark, sf_dir):
         assert "smj_small_side" not in [c for c, _ in lint(anti)]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_vocab_coverage_broadcasts_vocab_heap_topk(spark, sf_dir):
+    """The vocabulary derivation must be a per-partition-heap top-k (never a
+    global sort) and the OOV probe must broadcast the tiny vocab to the
+    token stream — at 100 TB the corpus side cannot shuffle for a 256-row
+    build side."""
+    plan = plan_of(QUERIES["text_vocab_coverage"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cluster_canonical_election_has_no_window(spark, sf_dir):
+    """The survivor election must be a partial-aggregable groupBy-argmax —
+    a per-cluster sort window would serialize every cluster through a
+    range partitioner at 100 TB."""
+    plan = plan_of(QUERIES["dedup_cluster_canonical"](spark, sf_dir))
+    assert "Window" not in plan, plan
