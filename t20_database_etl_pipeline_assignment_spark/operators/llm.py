@@ -2845,3 +2845,95 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         F.expr("(1000 * n_oov) DIV n_tokens").alias("oov_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_boilerplate_scrub — remove cross-document repeated segments, reassemble
+# ---------------------------------------------------------------------------
+
+_SCRUB_SEG = 8  # tokens per non-overlapping segment
+_SCRUB_DF = 2  # segment document-frequency at/above which it is boilerplate
+
+
+@query(
+    "text_boilerplate_scrub",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id, CAST((i - 1) // {_SCRUB_SEG} AS BIGINT) AS seg_idx,
+         array_to_string(list_slice(t, i, i + {_SCRUB_SEG - 1}), ' ') AS seg
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, {_SCRUB_SEG})) AS i
+        FROM toks)),
+df AS (SELECT seg, COUNT(DISTINCT doc_id) AS n_docs FROM occ GROUP BY seg)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN n_docs >= {_SCRUB_DF} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       md5(COALESCE(string_agg(
+             CASE WHEN n_docs < {_SCRUB_DF} THEN seg END,
+             ' ' ORDER BY seg_idx), '')) AS scrubbed_md5
+FROM occ JOIN df USING (seg)
+GROUP BY doc_id
+""",
+)
+def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal (reference README.md:10-13 "data
+    cleansing" on the corpus workload): chop every document into
+    non-overlapping 8-token segments, count each distinct segment's
+    document frequency corpus-wide, and REWRITE each document with the
+    segments that appear in >= 2 distinct documents removed — cookie
+    banners, nav bars, license footers. Unlike dedup_span_ngram (a
+    per-doc duplication *signal*) this is the *transform*: the output
+    carries the scrubbed text's md5 so the gate hashes the actual
+    reassembled corpus, plus exact kept/removed counts.
+
+    Scale shape: strictly linear — one explode keyed on segment text
+    (16-byte md5-sized strings after the shuffle, never full docs), one
+    groupBy for document frequency with map-side combine absorbing the
+    boilerplate head (the most frequent segments are exactly the ones
+    that combine best), one co-partitioned join back on segment, one
+    fold to doc_id. Reassembly order is the segment index carried
+    through posexplode — array_sort on (seg_idx, seg) structs is an
+    exact integer sort, so both engines rebuild byte-identical text.
+    No doc pairs ever form; at 100 TB this runs in the same pass budget
+    as the span-dup signal."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    seg_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(_SCRUB_SEG)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, _SCRUB_SEG)),
+    )
+    occ = d.select(
+        "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg")
+    ).withColumn("seg_idx", F.col("seg_idx").cast("long"))
+    df_ = (
+        occ.select("doc_id", "seg")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    kept_struct = F.when(
+        F.col("n_docs") < _SCRUB_DF, F.struct("seg_idx", "seg")
+    )
+    return (
+        occ.join(df_, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("n_docs") >= _SCRUB_DF, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(
+                F.coalesce(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(kept_struct)),
+                            lambda s: s["seg"],
+                        ),
+                        " ",
+                    ),
+                    F.lit(""),
+                )
+            ).alias("scrubbed_md5"),
+        )
+    )

@@ -641,3 +641,222 @@ def sql_dominant_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("part_qty_c") / F.lit(100).cast("double")).alias("part_qty"),
         )
     )
+
+
+@query(
+    "sql_order_count_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+  GROUP BY c_custkey)
+SELECT n_orders, COUNT(*) AS custdist
+FROM c_orders GROUP BY n_orders
+""",
+)
+def sql_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape ("customer distribution"): how many customers
+    placed exactly N qualifying orders — INCLUDING the zero-order
+    customers, which is why the join must be LEFT OUTER with the status
+    predicate inside the join condition (a WHERE would silently turn it
+    inner and drop the n_orders=0 bucket, the classic Q13 trap).
+
+    Scale shape: the outer join shuffles both sides on custkey, and the
+    first groupBy is on the SAME key, so it rides the join's exchange
+    without a second shuffle (EnsureRequirements reuses the
+    partitioning). The second groupBy folds ~50 distinct counts — a
+    few-row final exchange. COUNT(o_orderkey) counts non-null matches
+    only, identical to DuckDB. Reference parity: README.md:10-13
+    "querying and analysis" over the order-management star."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "F")
+        .select("o_custkey", "o_orderkey")
+    )
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per.groupBy("n_orders").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "sql_large_volume_customer",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 25000)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       qty_c / CAST(100 AS DOUBLE) AS total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+)
+def sql_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape ("large volume customer"): orders whose total
+    line quantity exceeds 250 units (top ~4% of orders on this fixture),
+    with the customer who placed them.
+
+    Scale shape: ONE aggregation over lineitem keyed on l_orderkey, and
+    the HAVING prunes it to a sliver BEFORE any join — so the survivor
+    set is explicitly broadcast into the orders scan (no lineitem ×
+    orders shuffle join), and the still-tiny result broadcasts again
+    into customer. At 100 TB the big-order list is hundreds of rows;
+    both joins stay build-side-KB broadcast hash joins. Quantities are
+    exact centi-integers end to end, divided once for display."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", scaled_long(F.col("l_quantity"), 100).alias("qty_c")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty_c").alias("qty_c"))
+        .filter(F.col("qty_c") > 25000)
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    hit = o.join(F.broadcast(big), F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        c.join(F.broadcast(hit), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            (F.col("qty_c") / F.lit(100).cast("double")).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "sql_value_share_threshold",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                  AS BIGINT)) AS val_s
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT SUM(val_s) AS tot_s, COUNT(*) AS n_parts FROM pv)
+SELECT l_partkey, val_s / CAST(10000 AS DOUBLE) AS part_value
+FROM pv, tot WHERE CAST(val_s AS HUGEINT) * 2 * n_parts > 3 * tot_s
+""",
+)
+def sql_value_share_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape ("important stock identification", adapted: no
+    partsupp table, so a part's "value" is its discounted lifetime
+    revenue): parts whose value exceeds 1.5x the average part's value —
+    the per-group vs global-scalar HAVING pattern. The threshold is
+    AVERAGE-relative, not total-share: Q11's fixed 0.01%% fraction
+    selects a data-size-dependent sliver (0 rows past sf0.001 here,
+    and the spec itself scales it by 1/SF); 1.5x-mean keeps a stable
+    ~1.3%% of parts at every SF, so the test stays live at scale.
+
+    Scale shape: one partial-aggregable groupBy builds the per-part
+    values; the global total re-aggregates THAT result (tiny — one row
+    per part, not per lineitem) into a single row that broadcasts back
+    via a 1-row cross join. The threshold test is exact integer algebra
+    (val*1000 > tot in scaled units — no float boundary flake); the
+    global accumulator is DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), the
+    repo-standard overflow-free money discipline. Display division is
+    one IEEE op per surviving row."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        scaled_long(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 10000
+        ).alias("rev_s"),
+    )
+    pv = li.groupBy("l_partkey").agg(F.sum("rev_s").alias("val_s"))
+    tot = pv.agg(
+        F.sum(F.col("val_s").cast("decimal(38,0)")).alias("tot_s"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("val_s").cast("decimal(38,0)") * F.lit(2) * F.col("n_parts")
+            > F.lit(3) * F.col("tot_s")
+        )
+        .select(
+            "l_partkey",
+            (F.col("val_s") / F.lit(10000).cast("double")).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "sql_supplier_cnt_by_parttype",
+    oracle="""
+WITH stats AS (
+  SELECT SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)) AS bal_s,
+         COUNT(*) AS n FROM supplier),
+excl AS (
+  SELECT s_suppkey FROM supplier, stats
+  WHERE CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) * n < bal_s),
+ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (10, 20, 30, 40, 50)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def sql_supplier_cnt_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape ("parts/supplier relationship", adapted: the
+    part-supplier relation is DISTINCT (l_partkey, l_suppkey) from
+    lineitem, and the excluded-supplier subquery — Q16's complaint
+    suppliers — is "below-average account balance", computed exactly in
+    centi-units so the boundary never flakes across engines): how many
+    eligible suppliers can supply each surviving (brand, type, size)
+    combination.
+
+    Scale shape: the DISTINCT pair projection shuffles 16 bytes/row
+    keyed on the pair; the exclusion list and the filtered part dim both
+    broadcast (NOT IN becomes a broadcast left-anti join — null-free
+    keys make them equivalent); COUNT(DISTINCT) re-shuffles only the
+    surviving pairs on the 3-column group key. No join ever moves
+    lineitem text or a non-key column."""
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", scaled_long(F.col("s_acctbal"), 100).alias("bal_c")
+    )
+    stats = s.agg(
+        F.sum(F.col("bal_c").cast("decimal(38,0)")).alias("bal_s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    excl = (
+        s.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal_c") * F.col("n") < F.col("bal_s"))
+        .select("s_suppkey")
+    )
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(10, 20, 30, 40, 50)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

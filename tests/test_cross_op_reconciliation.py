@@ -274,3 +274,93 @@ def test_dominant_supplier_dominance_invariant(spark, sf_dir):
     for r in out:
         assert r.supp_qty * 2 > r.part_qty
         assert r.supp_qty <= r.part_qty
+
+
+def test_order_count_distribution_covers_every_customer(spark, sf_dir):
+    """Q13's histogram is a partition of the customer set: bucket counts sum
+    to the customer count, and order-weighted buckets sum to the qualifying
+    (non-'F') order count — zero-order customers land in the 0 bucket."""
+    out = QUERIES["sql_order_count_distribution"](spark, sf_dir).collect()
+    n_cust = table(spark, sf_dir, "customer").count()
+    n_open = (
+        table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F").count()
+    )
+    assert sum(r.custdist for r in out) == n_cust
+    assert sum(r.n_orders * r.custdist for r in out) == n_open
+    assert any(r.n_orders == 0 for r in out)  # the LEFT-JOIN bucket is live
+
+
+def test_large_volume_matches_literal_window_form(spark, sf_dir):
+    """Q18 re-derived through a window formulation (per-order running total
+    over lineitem) must select the identical order set with identical
+    totals."""
+    from pyspark.sql import Window
+
+    out = {
+        r.o_orderkey: r.total_qty
+        for r in QUERIES["sql_large_volume_customer"](spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long").alias("qc"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    lit = (
+        li.withColumn("tot", F.sum("qc").over(w))
+        .filter(F.col("tot") > 25000)
+        .select("l_orderkey", "tot")
+        .distinct()
+        .collect()
+    )
+    assert out == {r.l_orderkey: r.tot / 100.0 for r in lit}
+
+
+def test_value_share_threshold_scalar_reconciles(spark, sf_dir):
+    """Q11's survivors are exactly the parts above 1.5x the mean part value,
+    re-derived independently in exact scaled integers."""
+    out = {r.l_partkey for r in QUERIES["sql_value_share_threshold"](spark, sf_dir).collect()}
+    pv = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("v")
+        )
+        .collect()
+    )
+    tot = sum(r.v for r in pv)
+    want = {r.l_partkey for r in pv if r.v * 2 * len(pv) > 3 * tot}
+    assert out == want and len(want) > 0
+
+
+def test_supplier_cnt_reconciles_with_bruteforce(spark, sf_dir):
+    """Q16 re-derived in driver-side Python over the raw tables: identical
+    (brand, type, size) -> distinct-eligible-supplier counts."""
+    from collections import defaultdict
+
+    out = {
+        (r.p_brand, r.p_type, r.p_size): r.supplier_cnt
+        for r in QUERIES["sql_supplier_cnt_by_parttype"](spark, sf_dir).collect()
+    }
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal").collect()
+    cents = {r.s_suppkey: int(r.s_acctbal * 100 + 0.5) for r in sup}
+    tot = sum(cents.values())
+    excl = {k for k, c in cents.items() if c * len(cents) < tot}
+    parts = {
+        r.p_partkey: (r.p_brand, r.p_type, r.p_size)
+        for r in table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(10, 20, 30, 40, 50))
+        .collect()
+    }
+    pairs = (
+        table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct().collect()
+    )
+    want = defaultdict(set)
+    for r in pairs:
+        if r.l_partkey in parts and r.l_suppkey not in excl:
+            want[parts[r.l_partkey]].add(r.l_suppkey)
+    assert out == {k: len(v) for k, v in want.items()}

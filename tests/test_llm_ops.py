@@ -692,3 +692,37 @@ def test_vocab_coverage_model(spark, sf_dir):
         assert row.n_tokens == len(toks)
         assert row.n_oov == n_oov
         assert row.oov_milli == 1000 * n_oov // len(toks)
+
+def test_boilerplate_scrub_model(spark, sf_dir):
+    """Pandas replay of the whole scrub: identical segmentation, identical
+    cross-doc segment document frequencies, and byte-identical reassembled
+    text (via md5). Also pins that the fixture actually exercises removal."""
+    import hashlib
+    from collections import defaultdict
+
+    import pandas as pd
+
+    out = (
+        QUERIES["text_boilerplate_scrub"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    segs = {}
+    df = defaultdict(set)
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        s = [" ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)]
+        segs[r.doc_id] = s
+        for seg in s:
+            df[seg].add(r.doc_id)
+    total_removed = 0
+    for doc_id, s in segs.items():
+        kept = [seg for seg in s if len(df[seg]) < 2]
+        row = out.loc[doc_id]
+        assert row.n_segments == len(s)
+        assert row.n_removed == len(s) - len(kept)
+        total_removed += len(s) - len(kept)
+        want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert row.scrubbed_md5 == want
+    assert total_removed > 0  # the fixture must exercise the removal path

@@ -179,6 +179,8 @@ _BNLJ_ALLOWED = {
     "geo_grid_distance_join",  # 9-row neighbor-offset broadcast (3x3 cells)
     "agg_kmv_intersection",  # 1-row per-side KMV-sketch broadcast (bounded top-64)
     "join_skew_salted",      # 1-row total-count broadcast (hot-key threshold)
+    "sql_value_share_threshold",  # 1-row total/part-count broadcast (Q11 scalar)
+    "sql_supplier_cnt_by_parttype",  # 1-row balance-average broadcast (Q16 excl)
 }
 _PY_ROW_ALLOWED = {"udf_python_scalar", "udtf_explode_custom"}  # §2.K escape hatches
 # Queries allowed an unbounded global sort (none expected; review any addition)
