@@ -399,3 +399,49 @@ def test_cluster_canonical_election_has_no_window(spark, sf_dir):
     range partitioner at 100 TB."""
     plan = plan_of(QUERIES["dedup_cluster_canonical"](spark, sf_dir))
     assert "Window" not in plan, plan
+
+
+def test_large_volume_prunes_before_broadcast_joins(spark, sf_dir):
+    """Q18's join chain must be broadcast-only: the HAVING-pruned big-order
+    list is the build side into orders, and the still-tiny result the build
+    side into customer — lineitem must never shuffle-join orders."""
+    plan = plan_of(QUERIES["sql_large_volume_customer"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_order_count_distribution_join_is_outer_and_one_exchange(spark, sf_dir):
+    """Q13's per-customer count must ride the outer join's custkey exchange:
+    exactly the join shuffles plus ONE tiny final exchange for the histogram
+    — a plan that re-shuffles customers for the first groupBy would double
+    the biggest exchange at 100 TB."""
+    df = QUERIES["sql_order_count_distribution"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftOuter" in plan, plan
+    # exchanges: customer-side, orders-side, final histogram fold; the
+    # per-customer aggregate itself must NOT add a fourth
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_supplier_cnt_exclusion_is_broadcast_anti(spark, sf_dir):
+    """Q16's NOT IN must plan as a broadcast left-anti join (null-free keys)
+    — at 100 TB the distinct pair stream cannot shuffle against a
+    supplier-sized exclusion list."""
+    plan = plan_of(QUERIES["sql_supplier_cnt_by_parttype"](spark, sf_dir))
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    ), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_boilerplate_scrub_is_linear_no_pairs(spark, sf_dir):
+    """The scrub must stay linear: segment df joins back co-partitioned on
+    the segment key (SMJ or shuffled hash on 'seg'), and nothing in the plan
+    forms doc-pair fan-out (no cartesian / BNLJ)."""
+    from t20_database_etl_pipeline_assignment_spark.plans.lint import lint
+
+    df = QUERIES["text_boilerplate_scrub"](spark, sf_dir)
+    assert lint(df) == []
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
