@@ -2937,3 +2937,77 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scrubbed_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_surprisal — conditional bigram LM surprisal, exact integer bits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bigram_surprisal",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2)),
+pair AS (SELECT prev, cur, COUNT(*) AS cp FROM bg GROUP BY prev, cur),
+ctx AS (SELECT prev, CAST(SUM(cp) AS BIGINT) AS cc FROM pair GROUP BY prev)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(LENGTH(bin(cc // cp)) - 1) AS BIGINT) AS sum_bits,
+       CAST((1000 * SUM(LENGTH(bin(cc // cp)) - 1)) // COUNT(*) AS BIGINT)
+         AS bigram_milli
+FROM bg b JOIN pair USING (prev, cur) JOIN ctx USING (prev)
+GROUP BY b.doc_id
+""",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram surprisal in EXACT integer bits — the LM step
+    up from text_surprisal_score's unigram model: each bigram occurrence
+    (prev → cur) costs floor(log2(count(prev·*) / count(prev·cur)))
+    bits, i.e. the information content of `cur` GIVEN `prev` under the
+    corpus bigram LM. Word-salad documents score high (transitions are
+    unpredictable) even when every individual token is common — the
+    failure mode the unigram score cannot see; templated boilerplate
+    scores near zero. Same zero-float discipline: the log2 floor is
+    length(bin(cc DIV cp)) - 1, pure integer/string ops both engines
+    define identically.
+
+    Scale shape: linear like the unigram twin — one bigram explode (the
+    zip of two token-array slices, JVM-side), one (prev,cur) count
+    shuffle with map-side combine on the Zipf-hot transitions, the
+    context totals re-aggregated from the PAIR table (vocab²-bounded,
+    never a second pass over the stream), then one co-partitioned join
+    back and a doc_id fold. No UDF, no pairs of documents."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    pairs_arr = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bg = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(pairs_arr).alias("bg"))
+        .select("doc_id", "bg.prev", "bg.cur")
+    )
+    pair = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cp"))
+    ctx = pair.groupBy("prev").agg(F.sum("cp").alias("cc"))
+    bits = F.length(F.bin(F.expr("cc DIV cp"))) - F.lit(1)
+    return (
+        bg.join(pair, ["prev", "cur"])
+        .join(ctx, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bits).cast("long").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_bits",
+            F.expr("(1000 * sum_bits) DIV n_bigrams").alias("bigram_milli"),
+        )
+    )

@@ -540,3 +540,75 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payloads.mapInPandas(resize_grids, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_dhash — perceptual difference-hash + LSH band bucketing
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = "doc_id long, dhash string, band16 string"
+
+
+def compute_dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Difference-hash kernel: treat the payload as a row-major 9x8 luma
+    grid (modular indexing tiles short payloads) and emit one bit per
+    adjacent-pixel comparison — the classic 64-bit dHash, kept as a bit
+    STRING so no engine's signed-shift semantics enter the contract.
+    band16 is the first 16 bits: the LSH bucket key for near-dup
+    candidate pairing (hamming-close images share prefixes far more
+    often than random ones)."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "dhash": [], "band16": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            n = len(data)
+            bits = "".join(
+                "1" if data[(r * 9 + c) % n] > data[(r * 9 + c + 1) % n] else "0"
+                for r in range(8)
+                for c in range(8)
+            )
+            out["doc_id"].append(doc_id)
+            out["dhash"].append(bits)
+            out["band16"].append(bits[:16])
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_image_dhash",
+    oracle="""
+WITH bits AS (
+  SELECT doc_id,
+         string_agg(
+           CASE WHEN ascii(substr(text, ((b // 8) * 9 + (b % 8)) % length(text) + 1, 1))
+                   > ascii(substr(text, ((b // 8) * 9 + (b % 8) + 1) % length(text) + 1, 1))
+                THEN '1' ELSE '0' END, '' ORDER BY b) AS dhash
+  FROM documents CROSS JOIN unnest(range(0, 64)) AS u(b)
+  GROUP BY doc_id),
+bands AS (
+  SELECT substr(dhash, 1, 16) AS band16, COUNT(*) AS n_band_mates
+  FROM bits GROUP BY substr(dhash, 1, 16))
+SELECT doc_id, dhash, substr(dhash, 1, 16) AS band16, n_band_mates
+FROM bits JOIN bands ON substr(dhash, 1, 16) = band16
+""",
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over the binary column: dHash (adjacent-
+    pixel gradient signs over a 9x8 grid) per payload via a vectorized
+    mapInPandas kernel, then LSH banding on the leading 16 bits —
+    images whose hashes are hamming-close collide in bands, so near-dup
+    candidates form by bucket join, never by all-pairs hamming. The
+    oracle replays the identical modular grid arithmetic character-wise
+    (ASCII corpus => bytes == chars), value-checking every bit of the
+    Arrow hash path.
+
+    Scale shape: the hash is one Arrow-batched pass (constant memory,
+    payloads never reach the driver); the band table is bounded at
+    2^16 rows NO MATTER the corpus size, so it broadcasts back — the
+    100 TB image corpus shuffles nothing but its 8-byte hashes."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    hashed = payloads.mapInPandas(compute_dhash, schema=DHASH_SCHEMA)
+    bands = hashed.groupBy("band16").agg(F.count(F.lit(1)).alias("n_band_mates"))
+    return hashed.join(F.broadcast(bands), "band16").select(
+        "doc_id", "dhash", "band16", "n_band_mates"
+    )

@@ -860,3 +860,83 @@ def sql_supplier_cnt_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "sql_min_cost_supplier",
+    oracle="""
+WITH s_eu AS (
+  SELECT s_suppkey, s_name, n_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+q AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost,
+         MIN(MIN(l_extendedprice / l_quantity))
+           OVER (PARTITION BY l_partkey) AS min_cost
+  FROM lineitem JOIN s_eu ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey)
+SELECT p.p_partkey, p.p_type, s.s_name, s.n_name, q.unit_cost
+FROM q
+JOIN part p ON p.p_partkey = q.l_partkey
+JOIN s_eu s ON s.s_suppkey = q.l_suppkey
+WHERE q.unit_cost = q.min_cost AND p.p_size <= 10
+""",
+)
+def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape ("minimum cost supplier", adapted: no partsupp, so
+    a supplier's cost for a part is the cheapest unit price it ever
+    shipped it at): for each small part (p_size <= 10), every EUROPE
+    supplier matching the regional minimum cost — ALL ties survive, as
+    in the spec, which is why the plan filters on equality with the
+    per-part window minimum instead of electing a single argmin.
+
+    Scale shape: the region dim chain (region⋈nation⋈supplier) collapses
+    to a broadcast list BEFORE lineitem is touched, so the fact scan is
+    pre-pruned to regional suppliers; one (partkey, suppkey) groupBy
+    plus a partkey window re-min reuses the same exchange family (the
+    sql_dominant_part_supplier pattern); the part dim broadcasts
+    post-filter. Determinism: MIN over doubles both engines computed
+    from identical inputs is bit-identical, so the min_cost equality
+    never flakes."""
+    s_eu = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    q = (
+        li.join(F.broadcast(s_eu.select("s_suppkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit").alias("unit_cost"))
+        .withColumn(
+            "min_cost",
+            F.min("unit_cost").over(Window.partitionBy("l_partkey")),
+        )
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 10)
+        .select("p_partkey", "p_type")
+    )
+    return (
+        q.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_type", "s_name", "n_name", "unit_cost")
+    )

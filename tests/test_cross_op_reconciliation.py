@@ -364,3 +364,36 @@ def test_supplier_cnt_reconciles_with_bruteforce(spark, sf_dir):
         if r.l_partkey in parts and r.l_suppkey not in excl:
             want[parts[r.l_partkey]].add(r.l_suppkey)
     assert out == {k: len(v) for k, v in want.items()}
+
+
+def test_min_cost_supplier_reconciles_with_bruteforce(spark, sf_dir):
+    """Q2 re-derived driver-side: for each small part, the EUROPE suppliers
+    achieving the regional minimum unit cost — all ties, no extras."""
+    from collections import defaultdict
+
+    out = defaultdict(set)
+    costs = {}
+    for r in QUERIES["sql_min_cost_supplier"](spark, sf_dir).collect():
+        out[r.p_partkey].add(r.s_name)
+        costs[r.p_partkey] = r.unit_cost
+    nat = {r.n_nationkey: r.n_regionkey for r in table(spark, sf_dir, "nation").collect()}
+    eu = {r.r_regionkey for r in table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").collect()}
+    sup = {
+        r.s_suppkey: r.s_name
+        for r in table(spark, sf_dir, "supplier").collect()
+        if nat[r.s_nationkey] in eu
+    }
+    small = {r.p_partkey for r in table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).collect()}
+    best: dict = {}
+    for r in table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity").collect():
+        if r.l_suppkey not in sup or r.l_partkey not in small:
+            continue
+        u = r.l_extendedprice / r.l_quantity
+        cur = best.setdefault(r.l_partkey, {})
+        cur[r.l_suppkey] = min(cur.get(r.l_suppkey, u), u)
+    want = {}
+    for pk, by_supp in best.items():
+        m = min(by_supp.values())
+        want[pk] = {sup[sk] for sk, u in by_supp.items() if u == m}
+        assert costs[pk] == m
+    assert dict(out) == want and len(want) > 0

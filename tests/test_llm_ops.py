@@ -726,3 +726,69 @@ def test_boilerplate_scrub_model(spark, sf_dir):
         want = hashlib.md5(" ".join(kept).encode()).hexdigest()
         assert row.scrubbed_md5 == want
     assert total_removed > 0  # the fixture must exercise the removal path
+
+
+def test_bigram_surprisal_model(spark, sf_dir):
+    """Pandas replay: identical pair/context counts and exact integer-bit
+    sums, including the floor-log2-via-bit_length equivalence."""
+    from collections import Counter
+
+    import pandas as pd
+
+    out = (
+        QUERIES["text_bigram_surprisal"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cp: Counter = Counter()
+    cc: Counter = Counter()
+    grams = {}
+    for r in docs.itertuples():
+        t = r.text.split(" ")
+        bgs = list(zip(t, t[1:]))
+        grams[r.doc_id] = bgs
+        cp.update(bgs)
+        cc.update(p for p, _ in bgs)
+    for doc_id, bgs in grams.items():
+        if not bgs:
+            assert doc_id not in out.index
+            continue
+        bits = sum((cc[p] // cp[(p, c)]).bit_length() - 1 for p, c in bgs)
+        row = out.loc[doc_id]
+        assert row.n_bigrams == len(bgs)
+        assert row.sum_bits == bits
+        assert row.bigram_milli == 1000 * bits // len(bgs)
+
+
+def test_image_dhash_model(spark, sf_dir):
+    """Byte-level replay of the dHash kernel and the band-mate counts; the
+    fixture must produce at least one multi-member band (the LSH bucketing
+    has to be live, not vacuous)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    out = (
+        QUERIES["multimodal_image_dhash"](spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hashes = {}
+    for r in docs.itertuples():
+        data = r.text.encode()
+        n = len(data)
+        bits = "".join(
+            "1" if data[(r_ * 9 + c) % n] > data[(r_ * 9 + c + 1) % n] else "0"
+            for r_ in range(8)
+            for c in range(8)
+        )
+        hashes[r.doc_id] = bits
+    bands = Counter(b[:16] for b in hashes.values())
+    for doc_id, bits in hashes.items():
+        row = out.loc[doc_id]
+        assert row.dhash == bits
+        assert row.band16 == bits[:16]
+        assert row.n_band_mates == bands[bits[:16]]
+    assert max(bands.values()) >= 2  # at least one candidate pair forms

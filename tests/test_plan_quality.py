@@ -445,3 +445,20 @@ def test_boilerplate_scrub_is_linear_no_pairs(spark, sf_dir):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_min_cost_supplier_prunes_fact_by_region_first(spark, sf_dir):
+    """Q2's region chain must collapse to a broadcast build side into the
+    lineitem scan — every join broadcast, no SortMergeJoin anywhere."""
+    plan = plan_of(QUERIES["sql_min_cost_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_image_dhash_band_join_is_broadcast(spark, sf_dir):
+    """The band-mate count table is bounded at 2^16 rows regardless of
+    corpus size, so the join back must be a broadcast — the hash stream
+    cannot shuffle for it at 100 TB."""
+    plan = plan_of(QUERIES["multimodal_image_dhash"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
