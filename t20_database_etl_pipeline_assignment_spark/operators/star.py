@@ -940,3 +940,383 @@ def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s_eu), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_type", "s_name", "n_name", "unit_cost")
     )
+
+
+@query(
+    "sql_discount_revenue",
+    oracle=f"""
+SELECT {sql_money_sum("l_extendedprice * l_discount", 10000)} AS discount_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+""",
+)
+def sql_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape ("forecasting revenue change"): the pure
+    scan-filter-aggregate — revenue that would be recovered by dropping
+    mid-band discounts on small-quantity 1997 shipments. No join, no
+    group key: Q6 exists to prove the scan path, and the plan pin
+    asserts all THREE range predicates (date, discount, quantity) reach
+    the Parquet scan as PushedFilters — at 100 TB this query is decided
+    almost entirely by row-group statistics, reading a fraction of the
+    fact table. The discount comparison literals are the same stored
+    doubles both engines read, so BETWEEN never flakes."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        money_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000).alias(
+            "discount_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "sql_nation_market_share",
+    oracle="""
+WITH rev AS (
+  SELECT year(o_orderdate) AS order_year,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+           AS rev_c,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region    ON cn.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'AMERICA')
+SELECT CAST(order_year AS BIGINT) AS order_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END)
+            AS BIGINT) / CAST(100 AS DOUBLE) AS nation_rev,
+       CAST(SUM(rev_c) AS BIGINT) / CAST(100 AS DOUBLE) AS total_rev,
+       CAST((1000 * SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END))
+            // SUM(rev_c) AS BIGINT) AS share_milli
+FROM rev GROUP BY order_year
+""",
+)
+def sql_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape ("national market share"): of the revenue AMERICA
+    customers spent each year, what slice was supplied by NATION_3 —
+    the conditional-share-of-a-join pattern. The share is computed in
+    exact centi-integer cross terms ((1000·nation) DIV total), so the
+    headline milli-share never rides a float boundary; the two display
+    sums divide once.
+
+    Scale shape: one lineitem⋈orders⋈customer shuffle chain (the same
+    exchanges the flagship already pays); BOTH nation hops, region, and
+    supplier broadcast — the customer-region filter prunes the fact
+    stream before the aggregate, and the per-year fold is 7 groups with
+    full map-side combine. No second pass for the denominator: numerator
+    and denominator are conditional sums over ONE stream."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        scaled_long(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 100
+        ).alias("rev_c"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    nat_c = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("rev_c")).otherwise(0)
+    )
+    tot_c = F.sum("rev_c")
+    return (
+        rev.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(nat_c.alias("nat_c"), tot_c.alias("tot_c"))
+        .select(
+            "order_year",
+            (F.col("nat_c") / F.lit(100).cast("double")).alias("nation_rev"),
+            (F.col("tot_c") / F.lit(100).cast("double")).alias("total_rev"),
+            F.expr("(1000 * nat_c) DIV tot_c").alias("share_milli"),
+        )
+    )
+
+
+@query(
+    "sql_profit_by_nation_year",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", 10000)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY supp_nation, order_year
+""",
+)
+def sql_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape ("product type profit", adapted: no partsupp, so
+    no supply cost to subtract — the measure is discounted revenue of
+    widget-family parts by supplier nation and order year; the join
+    topology IS Q9's: fact → orders for the year, part for the name
+    filter, supplier → nation for the group key).
+
+    Scale shape: the p_name LIKE filter prunes part BEFORE it
+    broadcasts, and that semi-filters lineitem early; supplier and
+    nation broadcast; the only shuffles are lineitem⋈orders and the
+    (nation, year) fold. Exact-integer revenue via the shared money
+    discipline."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(
+            "supp_nation", F.year("o_orderdate").cast("long").alias("order_year")
+        )
+        .agg(
+            money_sum(revenue, 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "sql_returned_item_revenue",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", 10000)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def sql_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape ("returned item reporting"): the 20 customers who
+    returned the most value in 1998-H1 — the agg-then-global-top-k over
+    a star join. The returnflag filter and both order-date bounds push
+    into the scans; nation broadcasts; the top-20 must plan as
+    TakeOrderedAndProject (per-partition heaps merged on the driver),
+    never a global sort — the difference between shuffling 20 rows and
+    shuffling every customer at 100 TB. Tie order is pinned by
+    (revenue DESC, custkey ASC) so both engines cut the same boundary."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            money_sum(revenue, 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "sql_shipmode_priority_count",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+""",
+)
+def sql_shipmode_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape ("shipping modes and order priority", adapted:
+    this fixture has no l_shipmode/l_receiptdate, so the "mode" is the
+    line status and "late" is shipped more than 90 days after the order
+    was placed): per status, how many LATE lines belonged to urgent
+    orders vs everything else — the query that tells you whether slow
+    logistics is eating your priority traffic.
+
+    Scale shape: one lineitem⋈orders equi-join on the order key (the
+    lateness predicate is a residual join filter, not a theta join —
+    the pair is already keyed); both CASE counts fold in the same
+    2-group aggregate with map-side combine. The 90-day arithmetic is
+    exact integer timestamp addition in both engines."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.expr("timestampadd(DAY, 90, o_orderdate)"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "sql_promo_revenue_share",
+    oracle="""
+WITH j AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+           AS rev_c,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01')
+SELECT ship_month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS BIGINT)
+         / CAST(100 AS DOUBLE) AS promo_rev,
+       CAST(SUM(rev_c) AS BIGINT) / CAST(100 AS DOUBLE) AS total_rev,
+       CAST((1000 * SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END))
+            // SUM(rev_c) AS BIGINT) AS promo_milli
+FROM j GROUP BY ship_month
+""",
+)
+def sql_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape ("promotion effect"): per 1997 ship month, the
+    milli-share of revenue earned by PROMO-type parts. Numerator and
+    denominator are conditional sums over ONE joined stream (never two
+    passes), in exact centi-integers with a single DIV — the same
+    float-free share discipline as sql_nation_market_share.
+
+    Scale shape: the ship-date range pushes into the fact scan; part
+    broadcasts (it carries only partkey+type after pruning); 12 month
+    groups fold with full map-side combine. DuckDB's date_format and
+    Spark's agree byte-for-byte on yyyy-MM."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        scaled_long(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 100
+        ).alias("rev_c"),
+        "p_type",
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(0))
+    return (
+        j.groupBy("ship_month")
+        .agg(promo.alias("promo_c"), F.sum("rev_c").alias("tot_c"))
+        .select(
+            "ship_month",
+            (F.col("promo_c") / F.lit(100).cast("double")).alias("promo_rev"),
+            (F.col("tot_c") / F.lit(100).cast("double")).alias("total_rev"),
+            F.expr("(1000 * promo_c) DIV tot_c").alias("promo_milli"),
+        )
+    )
+
+
+@query(
+    "sql_small_quantity_revenue",
+    oracle=f"""
+WITH pl AS (
+  SELECT l_partkey,
+         CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+         l_extendedprice
+  FROM lineitem),
+pa AS (
+  SELECT l_partkey, COUNT(*) AS n, CAST(SUM(qc) AS BIGINT) AS sq
+  FROM pl GROUP BY l_partkey)
+SELECT {sql_money_sum("l_extendedprice", 100)} AS small_qty_revenue,
+       COUNT(*) AS n_lines,
+       COUNT(DISTINCT pl.l_partkey) AS n_parts
+FROM pl
+JOIN pa   ON pl.l_partkey = pa.l_partkey
+JOIN part ON p_partkey = pl.l_partkey
+WHERE p_brand = 'Brand#2' AND qc * 5 * n < sq
+""",
+)
+def sql_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape ("small-quantity-order revenue"): revenue locked
+    in Brand#2 order lines whose quantity is below 20% of that part's
+    average order quantity — the PER-GROUP correlated-average filter
+    (the per-customer twin is sql_correlated_scalar_subquery; this is
+    the canonical per-part instance). The 0.2·avg test is exact integer
+    cross-multiplication (qc·5·n < Σq), no division anywhere.
+
+    Scale shape: one (partkey) aggregate over the fact, then a
+    CO-PARTITIONED join back on the same key — the aggregate output
+    rides the exchange the join needs, so the correlated average costs
+    one shuffle total; the brand dim broadcasts. Final fold is a 1-row
+    global aggregate."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        scaled_long(F.col("l_quantity"), 100).alias("qc"),
+        "l_extendedprice",
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qc").alias("sq")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#2")
+        .select("p_partkey")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("qc") * F.lit(5) * F.col("n") < F.col("sq"))
+        .agg(
+            money_sum(F.col("l_extendedprice"), 100).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )

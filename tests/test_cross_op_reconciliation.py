@@ -397,3 +397,119 @@ def test_min_cost_supplier_reconciles_with_bruteforce(spark, sf_dir):
         want[pk] = {sup[sk] for sk, u in by_supp.items() if u == m}
         assert costs[pk] == m
     assert dict(out) == want and len(want) > 0
+
+
+def test_discount_revenue_reconciles_with_bruteforce(spark, sf_dir):
+    """Q6 re-derived driver-side in exact scaled integers."""
+    out = QUERIES["sql_discount_revenue"](spark, sf_dir).collect()[0]
+    rows = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    import datetime
+
+    lo, hi = datetime.datetime(1997, 1, 1), datetime.datetime(1998, 1, 1)
+    hit = [
+        r for r in rows
+        if lo <= r.l_shipdate < hi and 0.04 <= r.l_discount <= 0.06 and r.l_quantity < 24
+    ]
+    want = sum(int(r.l_extendedprice * r.l_discount * 10000 + 0.5) for r in hit)
+    assert out.n_lines == len(hit)
+    assert out.discount_revenue == want / 10000.0
+
+
+def test_market_share_and_promo_share_invariants(spark, sf_dir):
+    """Q8/Q14 shares: numerator never exceeds denominator, milli-shares in
+    [0, 1000], and the exact DIV is consistent with the displayed sums."""
+    for qid, num, den, milli in [
+        ("sql_nation_market_share", "nation_rev", "total_rev", "share_milli"),
+        ("sql_promo_revenue_share", "promo_rev", "total_rev", "promo_milli"),
+    ]:
+        rows = QUERIES[qid](spark, sf_dir).collect()
+        assert rows, qid
+        for r in rows:
+            n, d, m = r[num], r[den], r[milli]
+            assert 0 <= n <= d, (qid, r)
+            assert 0 <= m <= 1000, (qid, r)
+            # milli is the floor of the exact ratio; reconstruct in cents
+            assert m == (1000 * round(n * 100)) // round(d * 100), (qid, r)
+
+
+def test_returned_item_revenue_topk_is_correct_cut(spark, sf_dir):
+    """Q10's top-20 re-derived from the unlimited aggregate: the same
+    (revenue DESC, custkey ASC) prefix."""
+    got = [
+        (r.c_custkey, r.revenue)
+        for r in QUERIES["sql_returned_item_revenue"](spark, sf_dir).collect()
+    ]
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    per = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("rev_s")
+        )
+        .collect()
+    )
+    want = sorted(
+        ((r.o_custkey, r.rev_s / 10000.0) for r in per),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+    assert got == want
+
+
+def test_shipmode_priority_counts_partition_late_lines(spark, sf_dir):
+    """Q12: high+low counts must equal the late-line total per status."""
+    out = QUERIES["sql_shipmode_priority_count"](spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.expr("timestampadd(DAY, 90, o_orderdate)"))
+        .groupBy("l_linestatus")
+        .count()
+        .collect()
+    )
+    want = {r.l_linestatus: r["count"] for r in late}
+    assert {r.l_linestatus: r.high_line_count + r.low_line_count for r in out} == want
+
+
+def test_small_quantity_revenue_reconciles_with_bruteforce(spark, sf_dir):
+    """Q17 re-derived driver-side: identical qualifying-line set under the
+    exact integer 0.2x-average test."""
+    from collections import defaultdict
+
+    out = QUERIES["sql_small_quantity_revenue"](spark, sf_dir).collect()[0]
+    brand = {
+        r.p_partkey
+        for r in table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").collect()
+    }
+    rows = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    stats = defaultdict(lambda: [0, 0])
+    for r in rows:
+        s = stats[r.l_partkey]
+        s[0] += 1
+        s[1] += int(r.l_quantity * 100 + 0.5)
+    hit = [
+        r for r in rows
+        if r.l_partkey in brand
+        and int(r.l_quantity * 100 + 0.5) * 5 * stats[r.l_partkey][0] < stats[r.l_partkey][1]
+    ]
+    assert out.n_lines == len(hit)
+    assert out.n_parts == len({r.l_partkey for r in hit})
+    want = sum(int(r.l_extendedprice * 100 + 0.5) for r in hit)
+    assert out.small_qty_revenue == want / 100.0

@@ -462,3 +462,38 @@ def test_image_dhash_band_join_is_broadcast(spark, sf_dir):
     plan = plan_of(QUERIES["multimodal_image_dhash"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_discount_revenue_pushes_all_ranges(spark, sf_dir):
+    """Q6's three range predicates must ALL reach the Parquet scan — the
+    query is decided by row-group statistics at 100 TB."""
+    plan = plan_of(QUERIES["sql_discount_revenue"](spark, sf_dir))
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.04)",
+        "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, (frag, plan)
+
+
+def test_returned_item_topk_uses_heap(spark, sf_dir):
+    """Q10's top-20 must be TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(QUERIES["sql_returned_item_revenue"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_small_quantity_join_back_is_copartitioned(spark, sf_dir):
+    """Q17's correlated average must cost ONE shuffle: the per-part
+    aggregate output joins back on the key it is already partitioned by
+    (no extra Exchange between the aggregate and the join)."""
+    plan = plan_of(QUERIES["sql_small_quantity_revenue"](spark, sf_dir), mode="simple")
+    # keyed shuffles: ONE per lineitem pass for the per-part aggregate plus
+    # the countDistinct expansion's re-key — anything above 3 means the
+    # correlated-average join re-shuffled a side it didn't need to.
+    # (BroadcastExchange is excluded: at toy stats Spark broadcasts the
+    # per-part aggregate; at scale AQE swaps it for the co-partitioned SMJ
+    # on the same key without adding a keyed exchange.)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "CartesianProduct" not in plan, plan
