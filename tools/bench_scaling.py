@@ -93,6 +93,17 @@ HEADLINE = [
     "stream_scd2_late_reconcile",
     "session_conversion_by_length",
     "sql_local_supplier_share",
+    # round-6 additions: the new TPC-H shapes and the linear corpus passes
+    "sql_order_count_distribution",
+    "sql_large_volume_customer",
+    "sql_value_share_threshold",
+    "sql_supplier_cnt_by_parttype",
+    "sql_min_cost_supplier",
+    "text_boilerplate_scrub",
+    "text_bigram_surprisal",
+    "multimodal_image_dhash",
+    "text_vocab_coverage",
+    "dedup_cluster_canonical",
 ]
 
 # sf10 (100x) tier: the ~16 headliners whose plans carry the 100 TB story -
@@ -120,6 +131,11 @@ SF10_HEADLINE = [
     "market_basket_pairs",
     "rolling_active_users",
     "topk_global",
+    # round-6: Q18's prune-before-join broadcast chain, the linear
+    # boilerplate scrub over 500k docs, and the Arrow dHash pass
+    "sql_large_volume_customer",
+    "text_boilerplate_scrub",
+    "multimodal_image_dhash",
 ]
 
 # staged-artifact builders + python-worker bootstrap, untimed (as bench.py)
@@ -165,6 +181,9 @@ SF10_SPOT = [
     "rolling_active_users",
     "sql_top_supplier_revenue",
     "sql_local_supplier_share",
+    # round-6: the Q11 scalar-threshold oracle exercises the
+    # DECIMAL(38,0)/HUGEINT money accumulators at 100x group sizes
+    "sql_value_share_threshold",
 ]
 
 FLAG_SLACK = 1.2   # ratio > factor * slack => super-linear, flag it

@@ -95,6 +95,30 @@ SHOWCASE = [
         "scan family — no per-row re-scan, no nested-loop anywhere; the "
         "text surface gets the same scale plan as the DSL.",
     ),
+    (
+        "sql_large_volume_customer",
+        "TPC-H Q18 shape: the HAVING-pruned big-order list is the BUILD "
+        "side of both joins (BroadcastHashJoin into orders, then into "
+        "customer) — lineitem never shuffle-joins orders; at 100 TB the "
+        "survivor set is hundreds of rows and both joins stay KB-build "
+        "broadcasts.",
+    ),
+    (
+        "text_boilerplate_scrub",
+        "Corpus rewrite that stays linear: segment explode → document-"
+        "frequency HashAggregate (the boilerplate head combines map-side "
+        "by construction — the most frequent segments combine best) → one "
+        "co-partitioned join back on the segment key → integer-sorted "
+        "reassembly per doc. No doc×doc join; the plan is the same pass "
+        "budget as the span-dup signal.",
+    ),
+    (
+        "sql_discount_revenue",
+        "TPC-H Q6 shape: all three range predicates (ship date, discount "
+        "band, quantity cap) appear in PushedFilters — at 100 TB the scan "
+        "skips row groups on statistics and the query reads a fraction of "
+        "the fact table; no join, one 1-row fold.",
+    ),
 ]
 
 
