@@ -612,3 +612,187 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.join(F.broadcast(bands), "band16").select(
         "doc_id", "dhash", "band16", "n_band_mates"
     )
+
+
+@query(
+    "dedup_incremental_dhash",
+    oracle="""
+WITH docs_in AS (
+  SELECT doc_id, text, 0 AS face FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text, 1 FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 3000000,
+         substr(text, 1, 40) || 'Z' || substr(text, 42), 1
+  FROM documents WHERE doc_id % 7 = 0),
+bits AS (
+  SELECT doc_id, face,
+         string_agg(
+           CASE WHEN ascii(substr(text, ((b // 8) * 9 + (b % 8)) % length(text) + 1, 1))
+                   > ascii(substr(text, ((b // 8) * 9 + (b % 8) + 1) % length(text) + 1, 1))
+                THEN '1' ELSE '0' END, '' ORDER BY b) AS dhash
+  FROM docs_in CROSS JOIN unnest(range(0, 64)) AS u(b)
+  GROUP BY doc_id, face),
+cand AS (
+  SELECT n.doc_id AS new_id, h.doc_id AS dup_of, n.dhash AS nd, h.dhash AS hd
+  FROM bits n JOIN bits h
+    ON substr(n.dhash, 1, 16) = substr(h.dhash, 1, 16)
+  WHERE n.face = 1 AND h.face = 0)
+SELECT new_id, dup_of,
+       CAST(list_sum(list_transform(range(1, 65),
+              i -> CASE WHEN substr(nd, i, 1) <> substr(hd, i, 1)
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+FROM cand
+WHERE list_sum(list_transform(range(1, 65),
+        i -> CASE WHEN substr(nd, i, 1) <> substr(hd, i, 1)
+                  THEN 1 ELSE 0 END)) <= 16
+""",
+)
+def dedup_incremental_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual image dedup — the ingest-time twin of
+    dedup_incremental_minhash for the binary modality: today's batch
+    (every 4th doc re-uploaded byte-identical, every 7th re-encoded with
+    one corrupted mid-grid byte — the 'same image, small pixel damage'
+    case, placed at byte 41 so the flipped gradient bits (35/36) land
+    OUTSIDE the 16-bit band and the pair still collides)
+    probes the historical corpus's dHash band index. Candidates form
+    ONLY from incoming x historical 16-bit-band collisions, then exact
+    hamming distance verifies each candidate and keeps near-dups
+    (<= 16/64 bits). Unlike MinHash there is NO seeded hashing anywhere
+    — the whole pipeline (grid hash, banding, hamming) is deterministic
+    byte math, so the oracle replays it EXACTLY rather than restricting
+    to a provable-recall subset.
+
+    Scale shape: daily cost is O(batch + collisions) regardless of
+    corpus size — the band join is an equi-join on a 16-bit key, never
+    incoming x incoming or historical x historical; the hamming verify
+    is a 64-step integer fold on already-joined rows (JVM higher-order
+    aggregate, no UDF). The historical band set is exactly what a
+    production ingest persists; re-derived here so the oracle sees one
+    self-contained expression."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    incoming = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .select((F.col("doc_id") + F.lit(2000000)).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
+                F.expr(
+                    "concat(substring(text, 1, 40), 'Z', substring(text, 42))"
+                ).alias("text"),
+            )
+        )
+    )
+
+    def hashed(frame: DataFrame) -> DataFrame:
+        payloads = frame.select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
+        return payloads.mapInPandas(compute_dhash, schema=DHASH_SCHEMA)
+
+    hist = hashed(d).select(
+        F.col("doc_id").alias("dup_of"),
+        F.col("dhash").alias("hd"),
+        F.col("band16").alias("hb"),
+    )
+    new = hashed(incoming).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("dhash").alias("nd"),
+        F.col("band16").alias("nb"),
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
+        "IF(substring(nd, i, 1) <> substring(hd, i, 1), 1, 0))"
+    ).cast("long")
+    return (
+        new.join(hist, F.col("nb") == F.col("hb"))
+        .select("new_id", "dup_of", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 16)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_vad — frame-energy voice-activity segmentation
+# ---------------------------------------------------------------------------
+
+VAD_FRAME = 32  # bytes per analysis frame
+VAD_SCHEMA = (
+    "doc_id long, n_frames long, n_active long, active_milli long, "
+    "n_segments long"
+)
+
+
+def vad_segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """VAD kernel: frame the payload, score each frame's voiced-byte
+    occupancy (non-space bytes — the deterministic stand-in for PCM
+    energy this codec-free container uses), threshold at half the frame,
+    and count maximal active runs — the segmentation a real
+    energy/zero-crossing VAD emits. Exact integers throughout."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "n_frames": [], "n_active": [],
+            "active_milli": [], "n_segments": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            frames = [
+                data[i : i + VAD_FRAME] for i in range(0, len(data), VAD_FRAME)
+            ]
+            active = [
+                sum(1 for b in fr if b != 0x20) * 2 > len(fr) for fr in frames
+            ]
+            segs = sum(
+                1 for k, a in enumerate(active) if a and (k == 0 or not active[k - 1])
+            )
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(len(frames))
+            out["n_active"].append(sum(active))
+            out["active_milli"].append(1000 * sum(active) // len(frames))
+            out["n_segments"].append(segs)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_audio_vad",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, i,
+         LEAST({VAD_FRAME}, length(text) - i + 1) AS flen,
+         length(replace(substr(text, i, {VAD_FRAME}), ' ', '')) AS voiced
+  FROM documents
+  CROSS JOIN unnest(range(1, length(text) + 1, {VAD_FRAME})) AS u(i)),
+a AS (
+  SELECT doc_id, i,
+         CASE WHEN voiced * 2 > flen THEN 1 ELSE 0 END AS act,
+         CASE WHEN voiced * 2 > flen
+               AND COALESCE(LAG(CASE WHEN voiced * 2 > flen THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY doc_id ORDER BY i), 0) = 0
+              THEN 1 ELSE 0 END AS seg_start
+  FROM f)
+SELECT doc_id,
+       COUNT(*) AS n_frames,
+       CAST(SUM(act) AS BIGINT) AS n_active,
+       CAST((1000 * SUM(act)) // COUNT(*) AS BIGINT) AS active_milli,
+       CAST(SUM(seg_start) AS BIGINT) AS n_segments
+FROM a GROUP BY doc_id
+""",
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over the audio payload column: frame the
+    opaque bytes, score per-frame voiced occupancy, threshold, and count
+    the maximal active runs (speech segments) — the standard first stage
+    of a speech-data pipeline (silence trimming, per-segment ASR
+    routing), with the codec-free deterministic energy this container's
+    multimodal family uses so the oracle can replay every frame
+    character-wise.
+
+    Scale shape: one Arrow-batched mapInPandas pass, payloads never
+    reach the driver, per-task memory bounded by the Arrow batch;
+    zero shuffles — the output is one row per payload, computed where
+    the bytes live. The run-counting (lag-free, single forward scan
+    inside the kernel) is what a window-function formulation would
+    shuffle for; the oracle spells THAT form, proving the fused kernel
+    against the relational semantics."""
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(vad_segments, schema=VAD_SCHEMA)

@@ -792,3 +792,64 @@ def test_image_dhash_model(spark, sf_dir):
         assert row.band16 == bits[:16]
         assert row.n_band_mates == bands[bits[:16]]
     assert max(bands.values()) >= 2  # at least one candidate pair forms
+
+
+def test_incremental_dhash_model(spark, sf_dir):
+    """Python replay of the whole incremental probe: exact re-uploads must
+    surface at hamming 0 against their originals; every returned pair's
+    hamming must match a byte-level recomputation; no incoming x incoming
+    or historical x historical pair may appear."""
+    import pandas as pd
+
+    def dhash(text: str) -> str:
+        data = text.encode()
+        n = len(data)
+        return "".join(
+            "1" if data[(r * 9 + c) % n] > data[(r * 9 + c + 1) % n] else "0"
+            for r in range(8)
+            for c in range(8)
+        )
+
+    out = QUERIES["dedup_incremental_dhash"](spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hist = {r.doc_id: dhash(r.text) for r in docs.itertuples()}
+    new = {}
+    for r in docs.itertuples():
+        if r.doc_id % 4 == 0:
+            new[r.doc_id + 2000000] = dhash(r.text)
+        if r.doc_id % 7 == 0:
+            new[r.doc_id + 3000000] = dhash(r.text[:40] + "Z" + r.text[41:])
+    got = {(r.new_id, r.dup_of): r.hamming for r in out}
+    for (nid, hid), ham in got.items():
+        assert nid in new and hid in hist  # orientation: incoming x historical
+        want = sum(1 for a, b in zip(new[nid], hist[hid]) if a != b)
+        assert ham == want <= 16
+        assert new[nid][:16] == hist[hid][:16]  # came from a band collision
+    # every exact re-upload self-pair must be present at hamming 0
+    for nid, h in new.items():
+        if nid >= 2000000 and nid < 3000000:
+            assert got.get((nid, nid - 2000000)) == 0
+    assert any(h > 0 for h in got.values())  # the near-dup (not exact) path is live
+
+
+def test_audio_vad_model(spark, sf_dir):
+    """Frame-level replay of the VAD kernel: occupancy, threshold, and
+    maximal-run segmentation all exact."""
+    import pandas as pd
+
+    out = QUERIES["multimodal_audio_vad"](spark, sf_dir).toPandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    saw_multiseg = False
+    for r in docs.itertuples():
+        data = r.text.encode()
+        frames = [data[i : i + 32] for i in range(0, len(data), 32)]
+        active = [sum(1 for b in fr if b != 0x20) * 2 > len(fr) for fr in frames]
+        segs = sum(1 for k, a in enumerate(active) if a and (k == 0 or not active[k - 1]))
+        row = out.loc[r.doc_id]
+        assert row.n_frames == len(frames)
+        assert row.n_active == sum(active)
+        assert row.active_milli == 1000 * sum(active) // len(frames)
+        assert row.n_segments == segs
+        saw_multiseg = saw_multiseg or segs != (1 if any(active) else 0)
+    # the fixture must exercise non-trivial segmentation somewhere
+    # (otherwise n_segments degenerates to "any active frame")

@@ -497,3 +497,20 @@ def test_small_quantity_join_back_is_copartitioned(spark, sf_dir):
     # on the same key without adding a keyed exchange.)
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_dhash_is_equi_band_join(spark, sf_dir):
+    """The incremental probe must be a hash equi-join on the band key —
+    no cartesian/BNLJ pair formation, no sort-merge for a 2^16-bounded
+    key domain."""
+    plan = plan_of(QUERIES["dedup_incremental_dhash"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "hashpartitioning(nb" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_audio_vad_is_shuffle_free(spark, sf_dir):
+    """VAD is one Arrow pass: any Exchange means the per-payload kernel
+    picked up a shuffle it doesn't need."""
+    plan = plan_of(QUERIES["multimodal_audio_vad"](spark, sf_dir), mode="simple")
+    assert "Exchange" not in plan, plan
