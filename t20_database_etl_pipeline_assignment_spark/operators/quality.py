@@ -939,3 +939,71 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).cast("long").alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore_membership — bounded-round 2-core peeling over the dup graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2  # minimum degree to survive a peel round
+_KCORE_ROUNDS = 3  # fixed synchronous peel rounds (bounded, deterministic)
+
+
+@query(
+    "graph_kcore_membership",
+    oracle=f"""
+WITH {_SQL_JACCARD_GRAPH},
+n1 AS (SELECT src AS node FROM sym GROUP BY src HAVING COUNT(*) >= {_KCORE_K}),
+e1 AS (
+  SELECT s.src, s.dst FROM sym s
+  JOIN n1 a ON s.src = a.node JOIN n1 b ON s.dst = b.node),
+n2 AS (SELECT src AS node FROM e1 GROUP BY src HAVING COUNT(*) >= {_KCORE_K}),
+e2 AS (
+  SELECT s.src, s.dst FROM e1 s
+  JOIN n2 a ON s.src = a.node JOIN n2 b ON s.dst = b.node),
+n3 AS (SELECT src AS node FROM e2 GROUP BY src HAVING COUNT(*) >= {_KCORE_K}),
+e3 AS (
+  SELECT s.src, s.dst FROM e2 s
+  JOIN n3 a ON s.src = a.node JOIN n3 b ON s.dst = b.node)
+SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM e3 GROUP BY src
+""",
+)
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core membership of the near-dup similarity graph after three
+    synchronous peel rounds: repeatedly remove nodes with degree < 2 and
+    the edges they carried, keeping the densely-duplicated core — the
+    subgraph where transitive dedup decisions (cluster canonicalization,
+    contamination spread) actually matter, versus the pendant clone
+    pairs the fast path already handles. Like graph_label_propagation,
+    the round count is FIXED, so the output is deterministic and the
+    oracle unrolls the identical three rounds as CTE stages over the
+    shared MATERIALIZED graph fragment.
+
+    Scale shape: each round is two co-partitioned hash joins (edge
+    endpoints against the survivor list) plus one partial-aggregable
+    degree count over the shared persisted .index_cache artifact —
+    never more than the edge set shuffles, and the edge set only
+    shrinks. A full decomposition loops the same round to fixpoint
+    (O(peel-depth) rounds); bounding it keeps the gate deterministic,
+    exactly the label-propagation precedent."""
+    edges = _cached_sym_graph(spark, sf_dir)
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        edges = (
+            edges.join(keep, edges["src"] == keep["node"])
+            .select("src", "dst")
+            .join(
+                keep.withColumnRenamed("node", "node2"),
+                F.col("dst") == F.col("node2"),
+            )
+            .select("src", "dst")
+        )
+    return edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    ).select(F.col("src").cast("long").alias("doc_id"), "core_deg")

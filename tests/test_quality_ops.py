@@ -205,3 +205,35 @@ def test_cluster_canonical_election_model(spark, sf_dir):
         winner = grp.sort_values(["n_chars", "doc_id"], ascending=[False, True]).iloc[0]
         assert (grp.canonical_id == winner.doc_id).all()
         assert kept.iloc[0].doc_id == winner.doc_id
+
+
+def test_kcore_membership_model(spark, sf_dir):
+    """Python replay of the three peel rounds over the same edge set the
+    engine used (read back from the shared artifact): identical survivor
+    set and degrees, and the peel must actually remove something."""
+    from collections import defaultdict
+
+    from t20_database_etl_pipeline_assignment_spark.operators.quality import (
+        _cached_sym_graph,
+    )
+
+    edges = {(r.src, r.dst) for r in _cached_sym_graph(spark, sf_dir).collect()}
+    assert edges
+    cur = set(edges)
+    for _ in range(3):
+        deg = defaultdict(int)
+        for s, _d in cur:
+            deg[s] += 1
+        keep = {n for n, d in deg.items() if d >= 2}
+        cur = {(s, d) for s, d in cur if s in keep and d in keep}
+    want = defaultdict(int)
+    for s, _d in cur:
+        want[s] += 1
+    out = {
+        r.doc_id: r.core_deg
+        for r in QUERIES["graph_kcore_membership"](spark, sf_dir).collect()
+    }
+    assert out == dict(want)
+    # the peel is live: some node present in the raw graph fell out
+    raw_nodes = {s for s, _ in edges}
+    assert set(out) < raw_nodes
