@@ -1043,3 +1043,83 @@ def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last.filter(F.col("op") == "U").select(
         "user_id", "value", F.col("ts").alias("updated_at"), "n_ops"
     )
+
+
+# ---------------------------------------------------------------------------
+# scd2_retention_prune — history-table retention policy (keep current + K)
+# ---------------------------------------------------------------------------
+
+_RETAIN_CLOSED = 2  # closed versions to keep per key, newest first
+
+
+@query(
+    "scd2_retention_prune",
+    oracle=f"""
+WITH dedup AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderstatus, o_orderdate,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders) WHERE rn = 1
+),
+changes AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderstatus, o_orderdate,
+           LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate) AS prev
+    FROM dedup)
+  WHERE prev IS NULL OR prev <> o_orderstatus
+),
+hist AS (
+  SELECT o_custkey, o_orderstatus,
+         o_orderdate AS effective_from,
+         COALESCE(LEAD(o_orderdate) OVER w, TIMESTAMP '2200-01-01')
+           AS effective_to,
+         LEAD(o_orderdate) OVER w IS NULL AS is_current
+  FROM changes
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+)
+SELECT o_custkey, o_orderstatus, effective_from, effective_to,
+       CAST(version_rank AS BIGINT) AS version_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY effective_from DESC) AS version_rank
+  FROM hist WHERE NOT is_current)
+WHERE version_rank > {_RETAIN_CLOSED}
+""",
+)
+def scd2_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-table retention policy — the maintenance job every SCD2
+    warehouse runs after the apply: keep each key's CURRENT version plus
+    its {K} most recent closed versions, and emit the prune list (the
+    rows a retention DELETE would remove, with their recency rank). The
+    current row is never a candidate by construction; a key with <= {K}
+    closed versions contributes nothing.
+
+    Scale shape: the history rebuild and the retention rank share the
+    SAME per-key partitioning — Catalyst plans the rank window on the
+    o_custkey exchange the rebuild already created, so retention costs
+    zero extra shuffles on top of the history it prunes. The prune list
+    is bounded by churn (versions beyond current+{K}), typically a tiny
+    fraction of the table; at 100 TB the DELETE consumes this list as a
+    broadcast anti-join against the history partition files.
+
+    Reference parity: README.md:6 SCD family (Type 2 history
+    management), README.md:12 "data retention"-class maintenance."""
+    log = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    hist = scd2_rebuild_from_log(
+        log, key="o_custkey", attr="o_orderstatus",
+        ts_col="o_orderdate", tiebreak="o_orderkey",
+    ).drop("o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("effective_from"))
+    return (
+        hist.filter(~F.col("is_current"))
+        .withColumn("version_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("version_rank") > _RETAIN_CLOSED)
+        .select(
+            "o_custkey", "o_orderstatus", "effective_from", "effective_to",
+            "version_rank",
+        )
+    )

@@ -146,3 +146,26 @@ def test_dq_expect_gate(spark):
         dq_expect(df, {"v_non_negative": F.col("v") >= 0})
     # a violation budget tolerates bounded dirt
     dq_expect(df, {"v_non_negative": F.col("v") >= 0}, max_violations=1)
+
+
+def test_retention_prune_reconciles_with_rebuild(spark, sf_dir):
+    """The prune list must be exactly the closed versions beyond the two
+    newest per key in the rebuilt history — never a current row, never a
+    key with <= 2 closed versions."""
+    from collections import defaultdict
+
+    from t20_database_etl_pipeline_assignment_spark.registry import QUERIES
+
+    hist = QUERIES["scd2_rebuild_from_log"](spark, sf_dir).collect()
+    closed = defaultdict(list)
+    for r in hist:
+        if not r.is_current:
+            closed[r.o_custkey].append(r.effective_from)
+    want = set()
+    for k, froms in closed.items():
+        for rank, ef in enumerate(sorted(froms, reverse=True), start=1):
+            if rank > 2:
+                want.add((k, ef, rank))
+    out = QUERIES["scd2_retention_prune"](spark, sf_dir).collect()
+    got = {(r.o_custkey, r.effective_from, r.version_rank) for r in out}
+    assert got == want and len(want) > 0
