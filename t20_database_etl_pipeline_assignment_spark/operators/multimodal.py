@@ -562,6 +562,8 @@ def compute_dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             data = bytes(payload)
             n = len(data)
+            if n == 0:  # zero-length payload: no grid, skip (oracle mirrors)
+                continue
             bits = "".join(
                 "1" if data[(r * 9 + c) % n] > data[(r * 9 + c + 1) % n] else "0"
                 for r in range(8)
@@ -583,6 +585,7 @@ WITH bits AS (
                    > ascii(substr(text, ((b // 8) * 9 + (b % 8) + 1) % length(text) + 1, 1))
                 THEN '1' ELSE '0' END, '' ORDER BY b) AS dhash
   FROM documents CROSS JOIN unnest(range(0, 64)) AS u(b)
+  WHERE length(text) > 0
   GROUP BY doc_id),
 bands AS (
   SELECT substr(dhash, 1, 16) AS band16, COUNT(*) AS n_band_mates
@@ -632,6 +635,7 @@ bits AS (
                    > ascii(substr(text, ((b // 8) * 9 + (b % 8) + 1) % length(text) + 1, 1))
                 THEN '1' ELSE '0' END, '' ORDER BY b) AS dhash
   FROM docs_in CROSS JOIN unnest(range(0, 64)) AS u(b)
+  WHERE length(text) > 0
   GROUP BY doc_id, face),
 cand AS (
   SELECT n.doc_id AS new_id, h.doc_id AS dup_of, n.dhash AS nd, h.dhash AS hd
@@ -738,6 +742,8 @@ def vad_segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             frames = [
                 data[i : i + VAD_FRAME] for i in range(0, len(data), VAD_FRAME)
             ]
+            if not frames:  # zero-length payload: skip (oracle's range
+                continue  # unnest drops empty docs the same way)
             active = [
                 sum(1 for b in fr if b != 0x20) * 2 > len(fr) for fr in frames
             ]

@@ -36,6 +36,7 @@ from typing import Any
 
 MAGIC = b"Obj\x01"
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+_HEADER_CHUNK = 64 * 1024  # initial bounded read for the container header
 
 
 # ---------------------------------------------------------------------------
@@ -224,24 +225,37 @@ def _encode(out: io.BytesIO, schema: Any, v: Any) -> None:
 
 
 def _read_header(f: io.BufferedReader) -> tuple[dict, str, bytes, int]:
-    """Returns (parsed schema, codec, sync marker, header-end offset)."""
+    """Returns (parsed schema, codec, sync marker, header-end offset).
+
+    Reads the file in bounded chunks that grow only until the header
+    metadata map parses — never the whole container — so indexing stays
+    O(header + #blocks) in driver memory even for multi-GB files."""
     if f.read(4) != MAGIC:
         raise ValueError("avro: bad magic — not an object container file")
-    # header metadata is an avro map<bytes>; decode it incrementally
-    meta: dict[str, bytes] = {}
-    buf = f.read()  # header is at the file start; decode from a full read
-    dec = Decoder(buf)
+    buf = f.read(_HEADER_CHUNK)
     while True:
-        n = dec.read_long()
-        if n == 0:
+        # header metadata is an avro map<bytes>; retry with a larger
+        # bounded buffer if the map spills past the current chunk
+        meta: dict[str, bytes] = {}
+        dec = Decoder(buf)
+        try:
+            while True:
+                n = dec.read_long()
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    dec.read_long()
+                for _ in range(n):
+                    k = dec.read(dec.read_long()).decode("utf-8")
+                    meta[k] = bytes(dec.read(dec.read_long()))
+            sync = bytes(dec.read(16))
             break
-        if n < 0:
-            n = -n
-            dec.read_long()
-        for _ in range(n):
-            k = dec.read(dec.read_long()).decode("utf-8")
-            meta[k] = bytes(dec.read(dec.read_long()))
-    sync = bytes(dec.read(16))
+        except (EOFError, IndexError):
+            more = f.read(len(buf))  # double the window, still bounded
+            if not more:
+                raise ValueError("avro: truncated container header") from None
+            buf += more
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"avro: codec {codec!r} (only null/deflate)")

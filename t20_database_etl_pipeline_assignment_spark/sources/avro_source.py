@@ -113,10 +113,10 @@ class AvroContainerReader(DataSourceReader):
                         (p, codec, sj, blocks[lo : lo + self.blocks_per_split])
                     )
                 )
-        # empty container: one split carrying zero blocks so the scan
-        # still yields a correctly-typed empty result
-        if not splits:
-            raise FileNotFoundError("t20_avro: no container blocks found")
+            # valid header-only container (zero blocks): one split carrying
+            # zero blocks so the scan yields a correctly-typed empty result
+            if not blocks:
+                splits.append(InputPartition((p, codec, sj, [])))
         return splits
 
     def read(self, partition: InputPartition):
@@ -125,6 +125,9 @@ class AvroContainerReader(DataSourceReader):
         path, codec, schema_json, blocks = partition.value
         schema = json.loads(schema_json)
         arrow = _arrow_schema(schema)
+        if not blocks:  # header-only container: one empty, typed batch
+            yield pa.RecordBatch.from_pylist([], schema=arrow)
+            return
         for offset, n_rec, n_bytes in blocks:
             data = avro_io.read_block(path, codec, offset, n_bytes)
             records = avro_io.decode_block(data, schema, n_rec)

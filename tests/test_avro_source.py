@@ -270,3 +270,49 @@ def test_spark_schema_inference(spark, tmp_path):
         ("v", "double"),
     ]
     assert {(r.k, r.v) for r in df.collect()} == {(1, 2.5), (2, None)}
+
+
+def test_header_only_container_yields_typed_empty(spark, tmp_path):
+    """A valid zero-block container (header only) must scan to an EMPTY
+    result with the declared schema, not raise — the landing-zone
+    'producer wrote the file, no records yet' case."""
+    p = str(tmp_path / "empty.avro")
+    avro_io.write_container(
+        p,
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "v", "type": ["null", "string"]},
+            ],
+        },
+        [],  # zero records -> zero blocks
+    )
+    spark.dataSource.register(AvroContainerDataSource)
+    df = spark.read.format("t20_avro").load(p)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("k", "bigint"),
+        ("v", "string"),
+    ]
+    assert df.count() == 0
+
+
+def test_large_header_parses_incrementally(tmp_path):
+    """_read_header grows its bounded buffer instead of reading the whole
+    file: a schema with a doc string larger than the initial 64 KiB chunk
+    must still parse, and the block index must stay correct behind it."""
+    fat_doc = "x" * (3 * avro_io._HEADER_CHUNK)
+    schema = {
+        "type": "record",
+        "name": "r",
+        "doc": fat_doc,
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    p = str(tmp_path / "fat.avro")
+    avro_io.write_container(p, schema, [{"k": i} for i in range(7)],
+                            records_per_block=3)
+    got_schema, codec, _, blocks = avro_io.index_blocks(p)
+    assert got_schema["doc"] == fat_doc and codec == "null"
+    assert [b[1] for b in blocks] == [3, 3, 1]
+    assert list(avro_io.read_records(p)) == [{"k": i} for i in range(7)]

@@ -271,3 +271,23 @@ def test_malformed_payloads_quarantine_not_crash(spark):
         quarantined.groupBy("decode_error").count().orderBy("decode_error").collect()
     )
     assert sum(r["count"] for r in report) == 3
+
+
+def test_zero_length_payloads_skipped_not_crash():
+    """compute_dhash and vad_segments skip zero-length payloads instead
+    of ZeroDivisionError-ing the whole batch (same guard convention as
+    text_ngram_novelty); non-empty rows in the same batch still emit."""
+    import pandas as pd
+
+    from t20_database_etl_pipeline_assignment_spark.operators.multimodal import (
+        compute_dhash,
+        vad_segments,
+    )
+
+    batch = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [b"", b"abcd" * 40, b""]}
+    )
+    dh = pd.concat(list(compute_dhash(iter([batch]))))
+    assert list(dh["doc_id"]) == [2] and len(dh["dhash"].iloc[0]) == 64
+    vad = pd.concat(list(vad_segments(iter([batch]))))
+    assert list(vad["doc_id"]) == [2] and vad["n_frames"].iloc[0] >= 1

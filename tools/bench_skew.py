@@ -12,8 +12,10 @@ p99 / max from the REST taskSummary API) for the heaviest stage:
   optimizer sees the toy-scale hot partition the way it would see a
   256 MB+ one in production (the *mechanism* is what's under test, not
   the default byte thresholds).
-- `salted`           — the registry's join_skew_salted: explicit
-  (key, salt%8) spread, dim replicated 8x.
+- `salted`           — the registry's join_skew_salted: targeted
+  census-based salting — only keys above the hot threshold are spread
+  across _SALT_BUCKETS=32 salt values, and the dim replicates 32x for
+  those hot keys ONLY (cold keys join unsalted, no replication).
 
 All three variants force the dim join to SHUFFLE (broadcast thresholds
 -1): at this grain the customer dim would broadcast and hide the skew
@@ -47,8 +49,8 @@ SRC_DEFAULT = os.path.join(REPO, ".scale_fixtures", "sf10")
 DST_DEFAULT = os.path.join(REPO, ".scale_fixtures", "sf10_skew")
 
 # worst-task bounds relative to the unsalted/AQE-off baseline; generous
-# (the ideal split is ~1/8 for 8 salt buckets) so only a plan that is NOT
-# actually spreading the hot key flags
+# (the ideal split is ~1/32 for 32 salt buckets on the hot key) so only a
+# plan that is NOT actually spreading the hot key flags
 SALTED_MAX_TASK_BOUND = 0.5
 AQE_MAX_TASK_BOUND = 0.7
 
