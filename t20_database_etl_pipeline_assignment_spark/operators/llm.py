@@ -2887,16 +2887,23 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the scrubbed text's md5 so the gate hashes the actual
     reassembled corpus, plus exact kept/removed counts.
 
-    Scale shape: strictly linear — one explode keyed on segment text
-    (16-byte md5-sized strings after the shuffle, never full docs), one
-    groupBy for document frequency with map-side combine absorbing the
-    boilerplate head (the most frequent segments are exactly the ones
-    that combine best), one co-partitioned join back on segment, one
-    fold to doc_id. Reassembly order is the segment index carried
-    through posexplode — array_sort on (seg_idx, seg) structs is an
-    exact integer sort, so both engines rebuild byte-identical text.
-    No doc pairs ever form; at 100 TB this runs in the same pass budget
-    as the span-dup signal."""
+    Scale shape: strictly linear, and NO shuffle ever carries segment
+    text. Segment strings are replaced by their 8-byte xxhash64 key the
+    moment they leave the document row (the digest-before-shuffle move
+    dedup_prefix makes), so the document-frequency distinct+groupBy and
+    the boilerplate join move only (doc_id, seg_idx, seg_key) rows
+    (~24 B); map-side combine absorbs the boilerplate head (the most
+    frequent keys combine best). The boilerplate verdict comes back to
+    each document as a compact removed-index LIST via one doc-keyed
+    aggregation, and reassembly re-slices the original text from a
+    second documents scan filtered by index — the corpus text crosses
+    exactly ONE doc-keyed exchange (the reassembly join), not the
+    previous three segment-keyed ones (sf10 telemetry had shown 100x
+    data -> 507x peak stage memory on the raw-text shuffles; the
+    narrow-key plan's stage memory tracks the 16-byte key stream).
+    xxhash64 keying accepts the 2^-64 collision odds the rest of the
+    dedup family already accepts. No doc pairs ever form; at 100 TB
+    this runs in the same pass budget as the span-dup signal."""
     d = table(spark, sf_dir, "documents")
     toks = _tokens()
     seg_arr = F.transform(
@@ -2905,34 +2912,45 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     occ = d.select(
         "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg")
-    ).withColumn("seg_idx", F.col("seg_idx").cast("long"))
+    ).select(
+        "doc_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.xxhash64("seg").alias("seg_key"),
+    )
     df_ = (
-        occ.select("doc_id", "seg")
+        occ.select("doc_id", "seg_key")
         .distinct()
-        .groupBy("seg")
+        .groupBy("seg_key")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
     )
-    kept_struct = F.when(
-        F.col("n_docs") < _SCRUB_DF, F.struct("seg_idx", "seg")
-    )
-    return (
-        occ.join(df_, "seg")
+    removed = (
+        occ.join(df_.filter(F.col("n_docs") >= _SCRUB_DF), "seg_key")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.when(F.col("n_docs") >= _SCRUB_DF, 1).otherwise(0))
-            .cast("long")
+            F.collect_list("seg_idx").alias("removed_idx"),
+            F.count(F.lit(1)).cast("long").alias("n_removed"),
+        )
+    )
+    removed_set = F.coalesce(
+        F.col("removed_idx"), F.expr("CAST(array() AS array<bigint>)")
+    )
+    return (
+        d.select("doc_id", seg_arr.alias("segs"))
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("segs").cast("long").alias("n_segments"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long")
             .alias("n_removed"),
             F.md5(
-                F.coalesce(
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(kept_struct)),
-                            lambda s: s["seg"],
+                F.array_join(
+                    F.filter(
+                        "segs",
+                        lambda s, i: ~F.array_contains(
+                            removed_set, i.cast("long")
                         ),
-                        " ",
                     ),
-                    F.lit(""),
+                    " ",
                 )
             ).alias("scrubbed_md5"),
         )

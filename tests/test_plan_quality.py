@@ -435,9 +435,11 @@ def test_supplier_cnt_exclusion_is_broadcast_anti(spark, sf_dir):
 
 
 def test_boilerplate_scrub_is_linear_no_pairs(spark, sf_dir):
-    """The scrub must stay linear: segment df joins back co-partitioned on
-    the segment key (SMJ or shuffled hash on 'seg'), and nothing in the plan
-    forms doc-pair fan-out (no cartesian / BNLJ)."""
+    """The scrub must stay linear AND narrow: nothing forms doc-pair
+    fan-out (no cartesian / BNLJ), and — the sf10 memory fix — NO exchange
+    may carry segment text or document text. Every shuffle moves only the
+    8-byte xxhash64 segment keys / ids; text is re-sliced from the
+    documents scan behind the one doc-keyed reassembly join."""
     from t20_database_etl_pipeline_assignment_spark.plans.lint import lint
 
     df = QUERIES["text_boilerplate_scrub"](spark, sf_dir)
@@ -445,6 +447,15 @@ def test_boilerplate_scrub_is_linear_no_pairs(spark, sf_dir):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "xxhash64" in plan, plan  # digest-before-shuffle is in effect
+    # formatted plan: each "(N) Exchange" section lists its Input columns;
+    # raw segment text is `seg#N` (seg_idx#/seg_key# don't match) and raw
+    # document text is `text#N` — neither may enter any exchange
+    for section in plan.split("\n(")[1:]:
+        header = section.split("\n", 1)[0]
+        if "Exchange" in header:
+            assert "seg#" not in section, f"segment text in exchange: {section}"
+            assert "text#" not in section, f"doc text in exchange: {section}"
 
 
 def test_min_cost_supplier_prunes_fact_by_region_first(spark, sf_dir):
