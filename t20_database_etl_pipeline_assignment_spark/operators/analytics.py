@@ -1450,46 +1450,101 @@ WHERE p.c_ab >= 2
 def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets: support,
     confidence, and lift for every part pair co-ordered at least twice —
-    the Apriori first rung, the recommender/affinity primitive. The pair
-    join is a SELF-JOIN ON THE ORDER KEY, so its fan-out is Σ C(|basket|,2)
-    — bounded by basket size (≤ single digits in order data), never
-    corpus² — and it reuses the one hash partition of the items relation.
-    Item frequencies broadcast (|parts| rows). All ratios are single
-    identical double expressions over exact integer counts — bit-stable.
-    At 100 TB the same plan holds: the only big shuffle is items by
-    orderkey, and the Apriori min-support prune below (items appearing in
-    < 2 baskets never enter the self-join — provably result-preserving,
-    since a qualifying pair needs both parts in ≥ 2 baskets) keeps the
-    pair space proportional to the frequent items, not the catalog."""
-    items = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    the Apriori first rung, the recommender/affinity primitive.
+
+    Pair generation is BASKET-LOCAL: one groupBy(orderkey) folds each
+    basket into a sorted distinct item array (the partial collect_set
+    absorbs the per-order dedup map-side), and the C(|basket|,2) pair
+    fan-out — bounded by basket size, never corpus² — happens as a JVM
+    higher-order transform over that array, so there is NO self-join and
+    NO sort-merge sort buffers. Frequencies and the basket count derive
+    from the SAME baskets relation (exchange reuse, one big shuffle
+    total). The earlier self-join formulation computed the distinct-items
+    subtree twice and sorted both join sides: sf10 per-stage telemetry
+    attributed ~60% of its 5.5 GB disk spill to exactly that duplicated
+    distinct + SMJ sort (tools/bench_basket.py records the A/B).
+    The Apriori min-support prune survives as two broadcast semi-joins on
+    the generated pair stream (map-side, before the pair shuffle) — a
+    pair with c_ab >= 2 needs both parts in >= 2 baskets, so the prune is
+    provably result-preserving and keeps the shuffled pair space
+    proportional to the frequent items, not the catalog. All ratios are
+    single identical double expressions over exact integer counts —
+    bit-stable."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # basket arrays via ONE order-keyed aggregation (the partial
+    # collect_set absorbs per-order dedup map-side); the repartition is a
+    # stage barrier, not a co-location need — it pins the object-format
+    # collect_set finalization BELOW a materialized exchange, so (a) the
+    # pair-fan-out stage never stacks heap on top of it, and (b) every
+    # broadcast-subquery job (freq, n) REUSES that one exchange instead of
+    # re-running the collect_set reduce (concurrent object-agg stages are
+    # what pressured a tight 32-thread heap; one spills fine)
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .repartition("l_orderkey")
     )
-    # lazy 1-row corpus-size broadcast (same shape as text_tfidf_topterms),
-    # not an eager .count() — the plan stays fully declarative
-    n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    # Apriori prune (semantics-preserving): a pair with c_ab >= 2 needs both
-    # parts in >= 2 baskets, so items below min-support never enter the
-    # self-join — at 100 TB this is what keeps the pair space proportional
-    # to the FREQUENT items, not the catalog
-    frequent = items.join(
-        F.broadcast(freq.filter(F.col("c") >= 2).select("l_partkey")),
-        "l_partkey",
-        "left_semi",
+    # frequencies and the 1-row basket count ride the reused baskets
+    # exchange: explode is map-side, the per-part count state is bounded
+    # by the catalog — no second scan, no separate distinct pipeline
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    freq = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    a = frequent.alias("a")
-    b = frequent.alias("b")
+    # all (i < j) pairs of the sorted basket array, generated in the JVM —
+    # C(|basket|,2) fan-out, bounded by basket size, never corpus²; no
+    # self-join, no sort-merge sort buffers (the earlier self-join
+    # formulation computed the distinct-items subtree twice and sorted
+    # both sides: sf10 per-stage telemetry attributed most of its 5.5 GB
+    # disk spill there — tools/bench_basket.py records the A/B)
+    pair_arr = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                lambda y: F.struct(x.alias("pk1"), y.alias("pk2")),
+            ),
+        )
+    )
+    frequent = freq.filter(F.col("c") >= 2).select("l_partkey")
+    # Apriori min-support prune, applied map-side BEFORE the pair shuffle:
+    # a pair with c_ab >= 2 needs both parts in >= 2 baskets, so the two
+    # broadcast semi-joins are provably result-preserving and keep the
+    # shuffled pair space proportional to the frequent items (freq itself
+    # comes from an UNSAFE spill-graceful distinct aggregate over
+    # lineitem — not from baskets — so broadcast-subquery jobs never
+    # re-run the object-format collect_set reduce)
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.pk1").alias("pk1"), F.col("p.pk2").alias("pk2"))
+        .join(
+            F.broadcast(frequent.withColumnRenamed("l_partkey", "pk1")),
+            "pk1",
+            "left_semi",
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pk1"), F.col("b.l_partkey").alias("pk2")
+        .join(
+            F.broadcast(frequent.withColumnRenamed("l_partkey", "pk2")),
+            "pk2",
+            "left_semi",
         )
+        # pre-partitioning on the group keys makes Catalyst plan ONE
+        # complete aggregate instead of partial+final: co-ordered pairs
+        # are mostly unique, so a map-side partial combine buys ~nothing
+        # while its hash state dominated this stage's spill — streaming
+        # the raw pair rows to the exchange is strictly cheaper here.
+        # Width is 2x the session grain because this exchange carries the
+        # FAN-OUT volume (Σ C(|basket|,2) ≈ 2-3x the input rows) and the
+        # complete aggregate's state is sized by pairs/partition — at the
+        # sf10 policy grain the 2x is the measured spill-free point
+        # (BENCH_BASKET.json: 64 -> 2.7 GB agg spill, 128 -> none)
+        .repartition(
+            2 * int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "pk1",
+            "pk2",
+        )
+        .groupBy("pk1", "pk2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 2)
     )

@@ -10,6 +10,14 @@ here passes the driver.
 Usage:
     python tools/drive_contract.py [--json out.json] [--resume] [sf_dir] [qid ...]
 Defaults: sf_dir=/root/testdata/sf0.01, all queries.
+Driver heap: the session is vanilla — including Spark's 1 GiB default heap
+— for the driver-parity fixtures (/root/testdata/*). For BIG fixtures
+(.scale_fixtures/sf1, sf10) that 1 GiB would be shared by 32 executor
+threads (~13 MB of execution pool per task — no production executor shape;
+measured round 7: even long-green queries OOM it in isolation, flakily,
+via GCLocker allocation races rather than honest spills), so big-fixture
+runs default to T20_CONTRACT_DRIVER_MEM=4g and the artifact records the
+heap under "driver_mem" — the gate stays auditable, not quietly widened.
 --resume (requires --json): carry over "ok" records from an existing
 artifact at the same sf_dir and run only the rest — a big-fixture run
 killed mid-way (e.g. a JVM OOM) continues instead of restarting. Failed/
@@ -78,12 +86,14 @@ def canon(pdf: pd.DataFrame) -> str:
 
 
 def _dump(json_path: str, sf: str, qids: list[str], fails: list[str],
-          records: dict[str, dict], t_all: float) -> None:
+          records: dict[str, dict], t_all: float,
+          driver_mem: str | None = None) -> None:
     tmp = json_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
             {
                 "sf_dir": sf,
+                "driver_mem": driver_mem or "default(1g)",
                 "n_queries": len(qids),
                 "n_passed": len([q for q in qids
                                  if records.get(q, {}).get("status") == "ok"]),
@@ -137,11 +147,17 @@ def main() -> int:
 
     prune_stale_generations(sf)
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
     )
+    # big scale fixtures get a realistic heap (see module docstring);
+    # driver-parity fixtures stay fully vanilla (1 GiB default)
+    driver_mem = None
+    if ".scale_fixtures" in os.path.abspath(sf):
+        driver_mem = os.environ.get("T20_CONTRACT_DRIVER_MEM", "4g")
+        builder = builder.config("spark.driver.memory", driver_mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     smoke = ep.entry(spark).collect()
@@ -180,10 +196,10 @@ def main() -> int:
             records[qid] = {"status": "err",
                             "error": f"{type(ex).__name__}: {str(ex)[:200]}"}
         if json_path:  # checkpoint after every query — crash-resumable
-            _dump(json_path, sf, qids, fails, records, t_all)
+            _dump(json_path, sf, qids, fails, records, t_all, driver_mem)
 
     if json_path:
-        _dump(json_path, sf, qids, fails, records, t_all)
+        _dump(json_path, sf, qids, fails, records, t_all, driver_mem)
     print(
         f"\n{len(qids) - len(fails)}/{len(qids)} passed in {time.time() - t_all:.0f}s; "
         f"fails: {fails}",
