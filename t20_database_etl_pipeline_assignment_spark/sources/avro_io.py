@@ -11,8 +11,11 @@ zone scans with block-level parallelism exactly like the JVM connector
 the file's 16-byte sync marker).
 
 Scope (documented, spec-complete for the fixture surface):
-- codecs: `null` and `deflate` (zlib raw); snappy/zstd are rejected with
-  a clear error naming the codec (no silent wrong reads).
+- codecs: `null`, `deflate` (zlib raw), `snappy` (raw-snappy block +
+  big-endian CRC32-of-uncompressed suffix per spec, verified on read),
+  and `zstandard` — the compressed pair ride pyarrow's bundled codecs
+  (public Arrow API, no extra native deps). Unknown codecs are rejected
+  with a clear error naming the codec (no silent wrong reads).
 - types: null, boolean, int, long (zigzag varint), float, double, bytes,
   string, fixed, enum, array, map, record (nested), and 2-branch
   ["null", T] unions (nullable fields). General N-branch unions and
@@ -37,6 +40,9 @@ from typing import Any
 MAGIC = b"Obj\x01"
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
 _HEADER_CHUNK = 64 * 1024  # initial bounded read for the container header
+# snappy/zstandard ride pyarrow's bundled codecs (public Arrow API, no
+# extra native deps); anything else still rejects loudly by name
+_CODECS = ("null", "deflate", "snappy", "zstandard")
 
 
 # ---------------------------------------------------------------------------
@@ -257,8 +263,10 @@ def _read_header(f: io.BufferedReader) -> tuple[dict, str, bytes, int]:
                 raise ValueError("avro: truncated container header") from None
             buf += more
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
-        raise NotImplementedError(f"avro: codec {codec!r} (only null/deflate)")
+    if codec not in _CODECS:
+        raise NotImplementedError(
+            f"avro: codec {codec!r} (supported: {sorted(_CODECS)})"
+        )
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     return schema, codec, sync, 4 + dec.pos
 
@@ -292,12 +300,43 @@ def index_blocks(path: str) -> tuple[dict, str, bytes, list[tuple[int, int, int]
     return schema, codec, sync, blocks
 
 
+def _snappy_uncompressed_len(buf: bytes) -> int:
+    """Raw-snappy preamble: uncompressed length as a LEB128 uvarint."""
+    shift, acc = 0, 0
+    for i, byte in enumerate(buf):
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return acc
+        shift += 7
+        if i > 9:
+            break
+    raise ValueError("avro: bad snappy length preamble")
+
+
 def read_block(path: str, codec: str, offset: int, n_bytes: int) -> bytes:
     with open(path, "rb") as f:
         f.seek(offset)
         raw = f.read(n_bytes)
     if codec == "deflate":
         return zlib.decompress(raw, -15)  # raw deflate per spec
+    if codec == "snappy":
+        # spec: raw-snappy block + 4-byte BIG-ENDIAN CRC32 of the
+        # UNCOMPRESSED data; verify it — never return unchecked bytes
+        import pyarrow as pa
+
+        body, crc = raw[:-4], raw[-4:]
+        data = bytes(
+            pa.Codec("snappy").decompress(body, _snappy_uncompressed_len(body))
+        )
+        if zlib.crc32(data) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
+            raise ValueError("avro: snappy block CRC mismatch")
+        return data
+    if codec == "zstandard":
+        # zstd frames carry their own integrity; stream-decompress (the
+        # frame header may omit content size, which Codec.decompress needs)
+        import pyarrow as pa
+
+        return pa.input_stream(pa.BufferReader(raw), compression="zstd").read()
     return raw
 
 
@@ -328,7 +367,7 @@ def write_container(
     byte-identical files — the repo-wide reproducibility convention."""
     import hashlib
 
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise NotImplementedError(f"avro: codec {codec!r}")
     schema_json = json.dumps(schema, sort_keys=True)
     sync = hashlib.md5(schema_json.encode()).digest()
@@ -351,6 +390,15 @@ def write_container(
         if codec == "deflate":
             co = zlib.compressobj(9, zlib.DEFLATED, -15)
             data = co.compress(data) + co.flush()
+        elif codec == "snappy":
+            import pyarrow as pa
+
+            crc = (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big")
+            data = bytes(pa.Codec("snappy").compress(data)) + crc
+        elif codec == "zstandard":
+            import pyarrow as pa
+
+            data = bytes(pa.Codec("zstd").compress(data))
         out.write(_zigzag(len(chunk)))
         out.write(_zigzag(len(data)))
         out.write(data)

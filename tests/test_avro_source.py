@@ -71,7 +71,7 @@ def _nested_records(n: int) -> list[dict]:
     ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "zstandard"])
 def test_roundtrip_nested_types(tmp_path, codec):
     recs = _nested_records(100)
     p = str(tmp_path / "t.avro")
@@ -316,3 +316,51 @@ def test_large_header_parses_incrementally(tmp_path):
     assert got_schema["doc"] == fat_doc and codec == "null"
     assert [b[1] for b in blocks] == [3, 3, 1]
     assert list(avro_io.read_records(p)) == [{"k": i} for i in range(7)]
+
+
+def test_snappy_crc_verified(tmp_path):
+    """Per spec a snappy block carries a big-endian CRC32 of the
+    UNCOMPRESSED data; a corrupted checksum must fail the read loudly,
+    never return unchecked bytes."""
+    p = str(tmp_path / "s.avro")
+    avro_io.write_container(
+        p, NESTED_SCHEMA, _nested_records(10), codec="snappy"
+    )
+    _, _, _, blocks = avro_io.index_blocks(p)
+    offset, _, n_bytes = blocks[0]
+    data = bytearray(open(p, "rb").read())
+    data[offset + n_bytes - 1] ^= 0xFF  # flip a CRC byte
+    bad = tmp_path / "bad.avro"
+    bad.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="CRC"):
+        list(avro_io.read_records(str(bad)))
+
+
+def test_spark_scan_snappy_zstd(spark, tmp_path):
+    """End-to-end through the Spark source for the compressed codecs the
+    common landing zones default to."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": ["null", "string"]},
+        ],
+    }
+    recs = [{"k": i, "v": None if i % 3 else f"v{i}"} for i in range(200)]
+    d = str(tmp_path)
+    avro_io.write_container(
+        os.path.join(d, "a.avro"), schema, recs[:100],
+        codec="snappy", records_per_block=25,
+    )
+    avro_io.write_container(
+        os.path.join(d, "b.avro"), schema, recs[100:],
+        codec="zstandard", records_per_block=25,
+    )
+    spark.dataSource.register(AvroContainerDataSource)
+    df = spark.read.format("t20_avro").load(d)
+    rows = sorted(df.collect(), key=lambda r: r.k)
+    assert len(rows) == 200
+    assert [(r.k, r.v) for r in rows] == [
+        (i, None if i % 3 else f"v{i}") for i in range(200)
+    ]
