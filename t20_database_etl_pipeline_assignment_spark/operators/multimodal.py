@@ -579,14 +579,16 @@ def compute_dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "multimodal_image_dhash",
     oracle="""
 WITH bits AS (
+  -- per-row list_transform, NOT an exploded ordered string_agg: the 64x
+  -- row blow-up + per-group ordered aggregate OOM'd DuckDB 1.0 at sf10
+  -- (~32M intermediate rows); this form is one in-row expression
   SELECT doc_id,
-         string_agg(
+         array_to_string(list_transform(range(0, 64), b ->
            CASE WHEN ascii(substr(text, ((b // 8) * 9 + (b % 8)) % length(text) + 1, 1))
                    > ascii(substr(text, ((b // 8) * 9 + (b % 8) + 1) % length(text) + 1, 1))
-                THEN '1' ELSE '0' END, '' ORDER BY b) AS dhash
-  FROM documents CROSS JOIN unnest(range(0, 64)) AS u(b)
-  WHERE length(text) > 0
-  GROUP BY doc_id),
+                THEN '1' ELSE '0' END), '') AS dhash
+  FROM documents
+  WHERE length(text) > 0),
 bands AS (
   SELECT substr(dhash, 1, 16) AS band16, COUNT(*) AS n_band_mates
   FROM bits GROUP BY substr(dhash, 1, 16))
@@ -629,14 +631,15 @@ WITH docs_in AS (
          substr(text, 1, 40) || 'Z' || substr(text, 42), 1
   FROM documents WHERE doc_id % 7 = 0),
 bits AS (
+  -- per-row list_transform (see multimodal_image_dhash oracle): the
+  -- exploded ordered string_agg form OOM'd DuckDB 1.0 at sf10
   SELECT doc_id, face,
-         string_agg(
+         array_to_string(list_transform(range(0, 64), b ->
            CASE WHEN ascii(substr(text, ((b // 8) * 9 + (b % 8)) % length(text) + 1, 1))
                    > ascii(substr(text, ((b // 8) * 9 + (b % 8) + 1) % length(text) + 1, 1))
-                THEN '1' ELSE '0' END, '' ORDER BY b) AS dhash
-  FROM docs_in CROSS JOIN unnest(range(0, 64)) AS u(b)
-  WHERE length(text) > 0
-  GROUP BY doc_id, face),
+                THEN '1' ELSE '0' END), '') AS dhash
+  FROM docs_in
+  WHERE length(text) > 0),
 cand AS (
   SELECT n.doc_id AS new_id, h.doc_id AS dup_of, n.dhash AS nd, h.dhash AS hd
   FROM bits n JOIN bits h

@@ -364,6 +364,143 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_resample_ohlc(stream: DataFrame) -> DataFrame:
+    """Streaming face of batch `resample_time_bucket` (6-hour OHLC bars per
+    event type). The row_number open/close picks become min_by/max_by over
+    the composite (us, event_id) order key — declarative aggregates, so the
+    whole bar is ONE streaming groupBy; run in complete mode (or append
+    behind a watermark in production). Same exact-integer money sum as the
+    batch face; parity is proven in tests/test_streaming.py."""
+    e = stream.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("us"),  # stream ts is LTZ: unix_micros OK
+    )
+    key = F.struct("us", "event_id")
+    return (
+        e.groupBy("event_type", F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", key).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", key).alias("close_value"),
+            (F.sum(scaled_long(F.col("value"), 100)) / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket_start"),
+            "n_events",
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "sum_value",
+        )
+    )
+
+
+ATTR_OUTPUT_SCHEMA = "user_id bigint, event_id bigint, channel bigint, value double"
+ATTR_STATE_SCHEMA = "click_us bigint, click_channel bigint"
+_ATTR_WINDOW_US_STREAM = 7 * 24 * 3600 * 1_000_000
+
+
+def _last_touch_fn(key, pdfs, state):
+    """Last-touch attribution kernel: keyed by user, the state is the last
+    click's (epoch-us, channel) — one fixed-size pair per user, bounded by
+    key cardinality exactly like stateful_user_totals. Within each batch
+    rows replay in (us, kind, event_id) order (the batch window's composite
+    key), so same-microsecond click+purchase resolves identically to the
+    batch face; across batches the state carries the newest click forward
+    (correct when micro-batches arrive in event-time order per user — the
+    availableNow parity shape; late clicks are the batch face's job)."""
+    import pandas as pd
+
+    click_us, click_channel = state.get if state.exists else (-1, -1)
+    out = {"user_id": [], "event_id": [], "channel": [], "value": []}
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["us", "kind", "event_id"])
+    for r in rows.itertuples():
+        if r.kind == 0:
+            click_us, click_channel = int(r.us), int(r.channel)
+        else:
+            hit = click_us >= 0 and (r.us - click_us) <= _ATTR_WINDOW_US_STREAM
+            out["user_id"].append(key[0])
+            out["event_id"].append(r.event_id)
+            out["channel"].append(click_channel if hit else -1)
+            out["value"].append(r.value)
+    state.update((click_us, click_channel))
+    yield pd.DataFrame(out)
+
+
+def stream_attribution_last_touch(stream: DataFrame) -> DataFrame:
+    """Streaming face of batch `attribution_last_touch`: the union-log
+    running-last-click window becomes explicit keyed state (last click us +
+    channel per user), emitting each purchase's attributed channel as it
+    arrives — the online shape of the same semantics. Downstream revenue
+    rollup is an ordinary aggregation over this append stream. Parity with
+    the batch face is proven in tests/test_streaming.py."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = stream.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),  # stream ts is LTZ: unix_micros OK
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+        (
+            F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("long")
+            % F.lit(5)
+        ).alias("channel"),
+        "value",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _last_touch_fn,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_rolling_active_counts(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Streaming faces of batch `rolling_active_users`: (dau, wau) streams.
+    The batch trick ports directly — each (user, active-day) contributes to
+    exactly 7 target days via a bounded explode, so the rolling distinct is
+    a keyed dedup + count, never a range join. Streaming replaces the batch
+    DISTINCT with the stateful dropDuplicates operator (state = one row per
+    (user, day) / (user, target): bounded by activity grain, watermark-
+    prunable in production); counts run in complete mode. The final
+    DAU/WAU stickiness join is a 1-row-per-day batch step over these
+    outputs (tests/test_streaming.py does it inline)."""
+    daily = stream.select(
+        "user_id", F.window("ts", "1 day").start.alias("day")
+    )
+    dau = (
+        daily.dropDuplicates(["user_id", "day"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    )
+    wau = (
+        daily.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "day",
+        )
+        .select(
+            "user_id",
+            F.expr("timestampadd(DAY, i, day)").alias("target"),
+        )
+        .dropDuplicates(["user_id", "target"])
+        .groupBy("target")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return dau, wau
+
+
 def make_user_count_processor():
     """StatefulProcessor for `transformWithStateInPandas` — Spark 4's
     arbitrary-state API (typed state handles, timers, TTL) superseding

@@ -141,6 +141,83 @@ def test_ann_ivf_recall(spark, sf_dir):
             assert v == exact_pairs[k]
 
 
+def test_ann_ivf_recall_curve_model(spark, sf_dir):
+    """Numpy replay of the whole recall curve: exact top-10 ground truth,
+    IVF cell assignment + per-query cell ranking, and the hit counts at
+    every nprobe — bit-equal to the operator. Also pins the curve's two
+    defining properties: monotone non-decreasing in nprobe, and
+    recall@nprobe=16 (all cells) would be 1.0 by construction, so the
+    nprobe=8 point must already be high (>= 0.8 at the fixture sizes)."""
+    import numpy as np
+    import pandas as pd
+
+    out = (
+        QUERIES["sim_ann_ivf_recall_curve"](spark, sf_dir)
+        .toPandas()
+        .sort_values("nprobe")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    norms = np.linalg.norm(M, axis=1)
+
+    def csim(a, B, Bn):
+        return (B @ a) / (np.linalg.norm(a) * Bn)
+
+    # replay the deterministic IVF build: 16 lowest-id seeds -> assign ->
+    # integer-exact Lloyd means -> final assignment
+    seeds = M[np.argsort(ids)[:16]]
+    seed_cells = ids[np.argsort(ids)[:16]]
+    sn = np.linalg.norm(seeds, axis=1)
+    a0 = np.empty(len(ids), dtype=np.int64)
+    for i in range(len(ids)):
+        s = csim(M[i], seeds, sn)
+        order = np.lexsort((seed_cells, -s))
+        a0[i] = seed_cells[order[0]]
+    cents = {}
+    for c in seed_cells:
+        rows = M[a0 == c]
+        scaled = np.floor(rows * 1e9 + 0.5).astype(np.int64)
+        cents[c] = scaled.sum(axis=0).astype(np.float64) / 1e9 / len(rows)
+    C = np.stack([cents[c] for c in seed_cells])
+    cn = np.linalg.norm(C, axis=1)
+    a1 = np.empty(len(ids), dtype=np.int64)
+    for i in range(len(ids)):
+        s = csim(M[i], C, cn)
+        order = np.lexsort((seed_cells, -s))
+        a1[i] = seed_cells[order[0]]
+    cell_of = dict(zip(ids, a1))
+
+    qmask = ids < 10
+    hits_at = {n: 0 for n in (1, 2, 4, 8)}
+    for qi in np.where(qmask)[0]:
+        sims = np.round((M @ M[qi]) / (norms[qi] * norms), 6)
+        sims[qi] = -np.inf
+        order = np.lexsort((ids, -sims))
+        top10 = ids[order[:10]]
+        cs = csim(M[qi], C, cn)
+        crank = {seed_cells[c]: r + 1
+                 for r, c in enumerate(np.lexsort((seed_cells, -cs)))}
+        for nb in top10:
+            r = crank[cell_of[nb]]
+            for n in hits_at:
+                if r <= n:
+                    hits_at[n] += 1
+    nq = int(qmask.sum())
+    for _, row in out.iterrows():
+        assert row.n_queries == nq
+        assert row.n_hits == hits_at[int(row.nprobe)], (
+            f"nprobe={row.nprobe}: {row.n_hits} vs model {hits_at[int(row.nprobe)]}"
+        )
+        assert row.recall_milli == 1000 * hits_at[int(row.nprobe)] // (10 * nq)
+    rec = out["recall_milli"].to_numpy()
+    assert (np.diff(rec) >= 0).all(), f"recall curve not monotone: {rec}"
+    assert rec[-1] >= 800, f"recall@10 at nprobe=8 suspiciously low: {rec[-1]}"
+
+
 def test_dedup_cascade_stages(spark, sf_dir):
     """The cascade must (a) remove exactly the injected exact duplicates in
     stage 1 (half the doubled corpus), (b) only ever shrink the corpus."""

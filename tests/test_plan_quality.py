@@ -162,6 +162,9 @@ _BNLJ_ALLOWED = {
     "text_tfidf_topterms",   # 1-row corpus-size broadcast
     "sim_cosine_topk",       # tiny query-set broadcast, no equi key
     "sim_ann_ivf",           # 1-row centroid-count broadcast
+    "sim_ann_ivf_recall_curve",  # exact-truth query-set broadcast (as
+    #                          sim_cosine_topk) + 4-row nprobe x tiny
+    #                          hits/1-row count broadcasts
     "dedup_cascade",         # 1-row stage-count arithmetic
     "agg_heavy_hitters",     # 1-row grand-total broadcast
     "mix_weighted",          # 1-row weight-sum/budget broadcast
@@ -525,3 +528,11 @@ def test_audio_vad_is_shuffle_free(spark, sf_dir):
     picked up a shuffle it doesn't need."""
     plan = plan_of(QUERIES["multimodal_audio_vad"](spark, sf_dir), mode="simple")
     assert "Exchange" not in plan, plan
+
+
+def test_ann_recall_curve_joins_are_broadcast(spark, sf_dir):
+    """Everything after the one-pass exact ground truth must be broadcast
+    joins (assignment lookup, cell-rank, nprobe/count scalars) — a shuffle
+    join anywhere here would re-sort the corpus for 100-row lookup tables."""
+    plan = plan_of(QUERIES["sim_ann_ivf_recall_curve"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan

@@ -817,3 +817,68 @@ def test_cdc_sink_soak_with_crash_injection(spark, tmp_path):
     n = int(os.environ.get("T20_SOAK_BATCHES", "30"))
     out = soak_cdc(spark, str(tmp_path), n_batches=n)
     assert out["converged"] and out["n_batches"] == n
+
+
+def test_stream_resample_ohlc_parity(spark, sf_dir):
+    """Streaming 6h OHLC bars (min_by/max_by over the composite order key)
+    must match batch resample_time_bucket bar for bar."""
+    from t20_database_etl_pipeline_assignment_spark.streaming.windows import (
+        stream_resample_ohlc,
+    )
+
+    got = run_available_now(
+        stream_resample_ohlc(read_events_stream(spark, sf_dir)),
+        "t20_stream_ohlc",
+    )
+    want = QUERIES["resample_time_bucket"](spark, sf_dir)
+    cols = ["event_type", "bucket_start", "n_events", "open_value",
+            "high_value", "low_value", "close_value", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_attribution_last_touch_parity(spark, sf_dir):
+    """The keyed last-click state kernel must attribute every purchase to
+    the same channel as the batch union-log window; rolling the attributed
+    stream up by channel reproduces the batch revenue report exactly
+    (exact-integer cents)."""
+    from t20_database_etl_pipeline_assignment_spark.streaming.windows import (
+        stream_attribution_last_touch,
+    )
+
+    attributed = run_available_now(
+        stream_attribution_last_touch(read_events_stream(spark, sf_dir)),
+        "t20_stream_attr",
+        output_mode="append",
+    )
+    got = (
+        attributed.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum(scaled_long(F.col("value"), 100)) / F.lit(100.0)).alias("revenue"),
+        )
+    )
+    want = QUERIES["attribution_last_touch"](spark, sf_dir)
+    cols = ["channel", "n_purchases", "revenue"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_rolling_active_users_parity(spark, sf_dir):
+    """Streaming DAU/WAU via bounded explode + stateful dedup + count must
+    reproduce the batch rolling_active_users table (including stickiness,
+    re-derived from the two streams the way a serving job would)."""
+    from t20_database_etl_pipeline_assignment_spark.streaming.windows import (
+        stream_rolling_active_counts,
+    )
+
+    dau_s, wau_s = stream_rolling_active_counts(read_events_stream(spark, sf_dir))
+    dau = run_available_now(dau_s, "t20_stream_dau")
+    wau = run_available_now(wau_s, "t20_stream_wau")
+    got = dau.join(wau, F.col("day") == F.col("target")).select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau") / (F.lit(1.0) * F.col("wau"))).alias("stickiness"),
+    )
+    want = QUERIES["rolling_active_users"](spark, sf_dir)
+    cols = ["day", "dau", "wau", "stickiness"]
+    assert _rows(got, cols) == _rows(want, cols)

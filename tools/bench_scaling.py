@@ -175,14 +175,12 @@ SPOT_QUERIES = [
 # toward the exact-scaled-revenue oracles where float parity is
 # scale-dependent; all five have BOUNDED outputs (dozens of rows at any SF)
 # so the contract's driver-side collect stays trivial at 60M-row lineitem
-SF10_SPOT = [
-    "sql_flagship_star",
-    "agg_hash_group",
-    "rolling_active_users",
-    "sql_top_supplier_revenue",
+# round-7: every query in the tier is oracle-spotted at sf10 (the DuckDB
+# temp-dir/memory-limit fix made big oracles routine), plus the Q11
+# DECIMAL(38,0)/HUGEINT scalar-threshold oracle — the class that actually
+# breaks engines at 100x group sizes
+SF10_SPOT = SF10_HEADLINE + [
     "sql_local_supplier_share",
-    # round-6: the Q11 scalar-threshold oracle exercises the
-    # DECIMAL(38,0)/HUGEINT money accumulators at 100x group sizes
     "sql_value_share_threshold",
 ]
 
@@ -349,7 +347,11 @@ def run_tier(
     }
 
     if spot:
-        env = dict(os.environ, SPARK_DRIVER_MEMORY="8g")
+        # drive_contract sizes big-fixture heaps itself (and records the
+        # value in its artifact); pin the spot run to the bench operating
+        # point so the oracle gate and the telemetry share one shape
+        env = dict(os.environ, SPARK_DRIVER_MEMORY="8g",
+                   T20_CONTRACT_DRIVER_MEM="8g")
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "drive_contract.py"),
              big_dir, *spot],
