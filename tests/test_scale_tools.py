@@ -19,6 +19,8 @@ sys.path.insert(
 
 from gen_scale_fixture import generate_skew  # noqa: E402
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def test_policy_floor_at_small_sf():
     # sf0.001 / sf0.01 / sf0.1 are all far below 16 * 32 MB — policy floor
@@ -77,3 +79,45 @@ def test_generate_skew_remaps_exactly_one_in_five(tmp_path):
         a = open(os.path.join(src, f"{t}.parquet"), "rb").read()
         b = open(os.path.join(dst, f"{t}.parquet"), "rb").read()
         assert a == b, t
+
+
+def test_resume_fingerprint_invalidates_changed_code(tmp_path):
+    """A --resume carry is only valid while the operator source AND oracle
+    SQL are byte-identical to what produced the record: same inputs give a
+    stable fingerprint, and changing either side changes it (so the record
+    re-runs instead of silently skipping re-proof of edited code)."""
+    from drive_contract import query_fingerprint
+
+    def op_a():
+        return 1
+
+    def op_b():
+        return 2
+
+    fp1 = query_fingerprint("q", op_a, "SELECT 1")
+    assert fp1 == query_fingerprint("q", op_a, "SELECT 1")  # stable
+    assert fp1 != query_fingerprint("q", op_b, "SELECT 1")  # code changed
+    assert fp1 != query_fingerprint("q", op_a, "SELECT 2")  # oracle changed
+
+
+def test_contract_artifacts_carry_current_fingerprints():
+    """The committed contract artifacts must be resumable as-is: every 'ok'
+    record's fingerprint matches the CURRENT registry, so --resume carries
+    it; any operator/oracle edit after a recording fails this test until
+    the artifact is regenerated (no stale-but-green carries at HEAD)."""
+    import json
+
+    import __spark_entry__ as ep
+    from drive_contract import query_fingerprint
+
+    qs, oracles = ep.queries(), ep.oracle_sql()
+    fps = {q: query_fingerprint(q, qs[q], oracles.get(q, "")) for q in qs}
+    for name in ("CONTRACT_r07.json", "CONTRACT_sf1.json"):
+        path = os.path.join(REPO, name)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            d = json.load(f)
+        stale = [q for q, r in d["queries"].items()
+                 if r.get("status") == "ok" and q in fps and r.get("fp") != fps[q]]
+        assert not stale, f"{name}: stale green records for {stale[:5]}..."

@@ -389,13 +389,21 @@ def main() -> None:
     if args.sf10:
         os.environ["T20_UI_ENABLED"] = "true"
 
-    if args.skip_sf1:
+    # always merge into the existing artifact: a tier that is not re-run
+    # this invocation keeps its previous recording (an sf1-only run used
+    # to silently DROP the sf10 and skew tiers from the committed file)
+    try:
         with open(path) as f:
             out = json.load(f)
-    else:
+    except (OSError, ValueError):
+        out = {}
+
+    if not args.skip_sf1:
+        kept = {k: out[k] for k in ("sf10", "skew") if k in out}
         out = run_tier(args.small, args.big, args.factor, HEADLINE,
                        args.passes, SPOT_QUERIES if args.spot else None,
                        telemetry=False)
+        out.update(kept)
 
     if args.sf10:
         out["sf10"] = run_tier(args.small, args.sf10_big, 100, SF10_HEADLINE,

@@ -21,7 +21,10 @@ heap under "driver_mem" — the gate stays auditable, not quietly widened.
 --resume (requires --json): carry over "ok" records from an existing
 artifact at the same sf_dir and run only the rest — a big-fixture run
 killed mid-way (e.g. a JVM OOM) continues instead of restarting. Failed/
-errored queries are always re-run.
+errored queries are always re-run, and so is any query whose operator
+source or oracle SQL changed since the record was produced (each record
+carries a code fingerprint; a stale-but-green carry would silently skip
+re-proving edited code).
 Exit code 0 iff every checked query matches its oracle by row count and
 order-insensitive value hash (repr-level equality => bit-exact).
 --json writes the per-query results as an auditable artifact (committed
@@ -71,6 +74,22 @@ def oracle_con(sf: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     return con
+
+
+def query_fingerprint(qid: str, fn, oracle: str) -> str:
+    """Identity of what a record PROVED: the operator's source + its oracle
+    SQL. --resume may only carry an 'ok' record whose fingerprint still
+    matches — editing either the Spark code or the oracle invalidates the
+    carried result (round-7 lesson: a resumed big-fixture artifact would
+    otherwise keep green records for queries whose code has since changed)."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # builtins / dynamically built callables
+        src = repr(fn)
+    return hashlib.md5((src + "\x00" + oracle).encode()).hexdigest()[:16]
 
 
 def canon(pdf: pd.DataFrame) -> str:
@@ -167,8 +186,16 @@ def main() -> int:
     queries = ep.queries()
     oracles = ep.oracle_sql()
     qids = only or list(queries)
-    # drop stale carried records for queries no longer registered
-    carried = {q: r for q, r in carried.items() if q in queries}
+    fps = {q: query_fingerprint(q, queries[q], oracles.get(q, "")) for q in queries}
+    # drop carried records for queries no longer registered OR whose
+    # operator source / oracle SQL changed since the record was produced
+    # (legacy records without a fingerprint are conservatively re-run)
+    n_raw = len(carried)
+    carried = {q: r for q, r in carried.items()
+               if q in queries and r.get("fp") == fps[q]}
+    if resume and n_raw != len(carried):
+        print(f"resume: {n_raw - len(carried)} carried records invalidated "
+              "(changed code/oracle or unregistered)", flush=True)
     fails: list[str] = []
     records: dict[str, dict] = dict(carried)
     t_all = time.time()
@@ -184,7 +211,8 @@ def main() -> int:
             if len(spdf) == len(opdf) and canon(spdf) == canon(opdf):
                 print(f"OK   {qid}: {len(spdf)} rows ({time.time() - t0:.1f}s)", flush=True)
                 records[qid] = {"status": "ok", "rows": len(spdf),
-                                "sec": round(time.time() - t0, 1)}
+                                "sec": round(time.time() - t0, 1),
+                                "fp": fps[qid]}
             else:
                 fails.append(qid)
                 print(f"FAIL {qid}: rows {len(spdf)} vs {len(opdf)}", flush=True)
