@@ -1099,6 +1099,192 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWEEP_PERMS = 12
+_SWEEP_BANDS = (1, 2, 4, 6)  # rows-per-band 12 / 6 / 3 / 2 over 12 perms
+_SWEEP_J = 0.5
+
+
+@query(
+    "dedup_minhash_band_sweep",
+    oracle=f"""
+WITH docs_in AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents),
+{_SQL_SHINGLES},
+mh AS (
+  SELECT doc_id, p,
+         MIN({_sql_hash60("shingle || ':' || p")}) AS v
+  FROM shing CROSS JOIN unnest(range(0, {_SWEEP_PERMS})) AS t(p)
+  GROUP BY doc_id, p),
+sig AS (SELECT doc_id, list(v ORDER BY p) AS s FROM mh GROUP BY doc_id),
+bk AS (
+  SELECT doc_id, nb, j,
+         array_to_string(list_transform(
+           range(j * ({_SWEEP_PERMS} // nb) + 1, (j + 1) * ({_SWEEP_PERMS} // nb) + 1),
+           k -> CAST(s[k] AS VARCHAR)), ',') AS key
+  FROM sig
+  CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in _SWEEP_BANDS)}]) AS nb)
+  CROSS JOIN unnest(range(0, nb)) AS u(j)),
+cand AS (
+  SELECT DISTINCT a.nb, a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bk a JOIN bk b
+    ON a.nb = b.nb AND a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT doc1, doc2 FROM inter
+  JOIN sizes sa ON doc1 = sa.doc_id
+  JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE round(i / (1.0 * (sa.sz + sb.sz - i)), 6) >= {_SWEEP_J}),
+nt AS (SELECT COUNT(*) AS n_true_pairs FROM truth),
+rec AS (
+  SELECT c.nb, COUNT(*) AS n_recalled
+  FROM cand c JOIN truth t ON c.doc1 = t.doc1 AND c.doc2 = t.doc2
+  GROUP BY c.nb),
+nc AS (SELECT nb, COUNT(*) AS n_candidate_pairs FROM cand GROUP BY nb)
+SELECT nc.nb AS n_bands,
+       {_SWEEP_PERMS} // nc.nb AS rows_per_band,
+       nc.n_candidate_pairs,
+       nt.n_true_pairs,
+       COALESCE(rec.n_recalled, 0) AS n_recalled,
+       (1000 * COALESCE(rec.n_recalled, 0)) // nt.n_true_pairs AS recall_milli,
+       (1000 * COALESCE(rec.n_recalled, 0)) // nc.n_candidate_pairs
+         AS precision_milli
+FROM nc LEFT JOIN rec ON nc.nb = rec.nb CROSS JOIN nt
+""",
+)
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding-parameter calibration face of MinHash dedup — the same
+    role sim_ann_ivf_recall_curve plays for the IVF probe knob: for
+    b ∈ (1, 2, 4, 6) bands over a 12-permutation signature (rows-per-band
+    12 / 6 / 3 / 2), measure the candidate-pair count (the COST the band join
+    pays) against recall and precision vs the EXACT Jaccard >= 0.5 truth
+    set, so a user picks the b/r operating point from a measured curve —
+    collision probability 1-(1-J^r)^b moves from 'miss most moderates'
+    (r=6) to 'catch nearly all, pay more candidates' (r=2).
+
+    Unlike the production 64-perm index (seeded xxhash64 — NOT
+    DuckDB-replayable), the sweep's signatures are md5-derived via the
+    repo's hash60 so the oracle replays every permutation, band key,
+    candidate pair, and ratio bit-for-bit. The truth set is the exact
+    inverted-index tier over the cloned corpus (clones guarantee J=1
+    pairs at every SF, so the ratios are never 0/0).
+
+    Scale shape: calibration is a SAMPLED-corpus job at 100 TB — truth
+    needs exact all-pairs-within-buckets, so you run the sweep on a few
+    hundred thousand sampled docs and apply the chosen b/r to the full
+    banded index; at fixture scale the sample is the corpus. The band
+    join is equi-keyed on (nb, band, key); the truth join is the same
+    shingle inverted index dedup_ngram_jaccard ships; signatures are
+    12 min-aggs in ONE pass over the staged shingle relation."""
+    sh = corpus_shingles(spark, sf_dir)
+    sig0 = sh.groupBy("doc_id").agg(
+        *[
+            F.min(hash60(F.concat(F.col("shingle"), F.lit(f":{p}")))).alias(f"mh{p}")
+            for p in range(_SWEEP_PERMS)
+        ]
+    )
+    # clone signatures need no recompute: identical text => identical sig
+    sig = sig0.unionByName(
+        sig0.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    entries = []
+    for nb in _SWEEP_BANDS:
+        r = _SWEEP_PERMS // nb
+        for j in range(nb):
+            key = F.concat_ws(
+                ",", *[F.col(f"mh{j * r + k}").cast("string") for k in range(r)]
+            )
+            entries.append(
+                F.struct(
+                    F.lit(nb).alias("nb"),
+                    F.lit(j).alias("band"),
+                    key.alias("key"),
+                )
+            )
+    bk = sig.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        "doc_id", "e.nb", "e.band", "e.key"
+    )
+    a = bk.alias("a")
+    b = bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.nb") == F.col("b.nb"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.nb").alias("nb"),
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+        )
+        .distinct()
+    )
+    shc = cloned_shingles(spark, sf_dir)
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # PPJoin-style size-compatibility prune (same move as
+    # dedup_ngram_jaccard): J >= 0.5 forces max(sz) <= 2*min(sz), so the
+    # inverted-index fan-out drops size-incompatible pairs BEFORE the pair
+    # aggregation — provably semantics-preserving, oracle unchanged
+    szd = shc.join(F.broadcast(sizes), "doc_id")
+    sa = szd.alias("sa")
+    sb = szd.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id"))
+            & (F.col("sb.sz") <= F.lit(2) * F.col("sa.sz"))
+            & (F.col("sa.sz") <= F.lit(2) * F.col("sb.sz")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc1"), F.col("sb.doc_id").alias("doc2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first(F.col("sa.sz")).alias("sza"),
+            F.first(F.col("sb.sz")).alias("szb"),
+        )
+    )
+    truth = inter.filter(
+        F.round(
+            F.col("i") / (F.lit(1.0) * (F.col("sza") + F.col("szb") - F.col("i"))),
+            6,
+        )
+        >= _SWEEP_J
+    ).select("doc1", "doc2")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    rec = (
+        cand.join(truth, ["doc1", "doc2"])
+        .groupBy("nb")
+        .agg(F.count(F.lit(1)).alias("n_recalled"))
+    )
+    nc = cand.groupBy("nb").agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    return (
+        nc.join(rec, "nb", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("nb").alias("n_bands"),
+            (F.lit(_SWEEP_PERMS) / F.col("nb")).cast("long").alias("rows_per_band"),
+            "n_candidate_pairs",
+            "n_true_pairs",
+            F.coalesce(F.col("n_recalled"), F.lit(0)).alias("n_recalled"),
+            F.expr(
+                "CAST((1000 * coalesce(n_recalled, 0)) DIV n_true_pairs AS BIGINT)"
+            ).alias("recall_milli"),
+            F.expr(
+                "CAST((1000 * coalesce(n_recalled, 0)) DIV n_candidate_pairs AS BIGINT)"
+            ).alias("precision_milli"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------

@@ -930,3 +930,68 @@ def test_audio_vad_model(spark, sf_dir):
         saw_multiseg = saw_multiseg or segs != (1 if any(active) else 0)
     # the fixture must exercise non-trivial segmentation somewhere
     # (otherwise n_segments degenerates to "any active frame")
+
+
+def test_minhash_band_sweep_model(spark, sf_dir):
+    """Python replay of the whole banding sweep: md5-derived minhash
+    signatures, band keys per config, candidate pairs, the exact J >= 0.5
+    truth set, and every count/ratio — bit-equal to the operator. Also
+    pins the curve's defining shape: candidates and recall are monotone
+    non-decreasing in the band count, and every config recalls ALL exact
+    (J=1) clone pairs (identical signatures collide in any band)."""
+    import hashlib
+
+    import pandas as pd
+
+    out = (
+        QUERIES["dedup_minhash_band_sweep"](spark, sf_dir)
+        .toPandas()
+        .sort_values("n_bands")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    shing = {}
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        ss = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        shing[r.doc_id] = ss
+        shing[r.doc_id + 1000000] = ss  # clone
+    sig = {d: tuple(min(h60(f"{s}:{p}") for s in ss) for p in range(12))
+           for d, ss in shing.items()}
+    ids = sorted(shing)
+    truth = set()
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            a, b = shing[d1], shing[d2]
+            inter = len(a & b)
+            if inter and round(inter / (len(a) + len(b) - inter), 6) >= 0.5:
+                truth.add((d1, d2))
+    prev_cand = prev_rec = -1
+    for nb in (1, 2, 4, 6):
+        r = 12 // nb
+        buckets = {}
+        for d in ids:
+            for j in range(nb):
+                buckets.setdefault((j, sig[d][j * r:(j + 1) * r]), []).append(d)
+        cand = set()
+        for members in buckets.values():
+            for i, d1 in enumerate(members):
+                for d2 in members[i + 1:]:
+                    cand.add((min(d1, d2), max(d1, d2)))
+        rec = len(cand & truth)
+        row = out[out.n_bands == nb].iloc[0]
+        assert row.n_candidate_pairs == len(cand), nb
+        assert row.n_true_pairs == len(truth)
+        assert row.n_recalled == rec
+        assert row.recall_milli == 1000 * rec // len(truth)
+        assert row.precision_milli == 1000 * rec // len(cand)
+        # clone pairs (J=1, identical sigs) always collide
+        clones = {(d, d + 1000000) for d in docs["doc_id"]}
+        assert clones <= cand
+        assert len(cand) >= prev_cand and rec >= prev_rec  # monotone in nb
+        prev_cand, prev_rec = len(cand), rec

@@ -165,6 +165,7 @@ _BNLJ_ALLOWED = {
     "sim_ann_ivf_recall_curve",  # exact-truth query-set broadcast (as
     #                          sim_cosine_topk) + 4-row nprobe x tiny
     #                          hits/1-row count broadcasts
+    "dedup_minhash_band_sweep",  # 1-row truth-count broadcast
     "dedup_cascade",         # 1-row stage-count arithmetic
     "agg_heavy_hitters",     # 1-row grand-total broadcast
     "mix_weighted",          # 1-row weight-sum/budget broadcast
