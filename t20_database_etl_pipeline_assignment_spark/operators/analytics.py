@@ -1512,10 +1512,10 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Apriori min-support prune, applied map-side BEFORE the pair shuffle:
     # a pair with c_ab >= 2 needs both parts in >= 2 baskets, so the two
     # broadcast semi-joins are provably result-preserving and keep the
-    # shuffled pair space proportional to the frequent items (freq itself
-    # comes from an UNSAFE spill-graceful distinct aggregate over
-    # lineitem — not from baskets — so broadcast-subquery jobs never
-    # re-run the object-format collect_set reduce)
+    # shuffled pair space proportional to the frequent items (freq rides
+    # the reused post-repartition baskets exchange — see above — so the
+    # broadcast-subquery jobs reuse the materialized shuffle instead of
+    # re-running the object-format collect_set reduce)
     pairs = (
         baskets.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.pk1").alias("pk1"), F.col("p.pk2").alias("pk2"))

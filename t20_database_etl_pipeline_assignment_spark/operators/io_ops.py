@@ -164,9 +164,11 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM connector uses: Avro blocks are length-prefixed and sync-
     terminated, so one 100 TB container file still scans in parallel
     (contrast scan_csv_gzip's unsplittable-codec note). The stage-side
-    toPandas is a bounded dim write for the differential test only; a
-    production writer emits one container per partition via
-    mapInPandas."""
+    toPandas here is a bounded dim write chosen so this face exercises
+    TWO codecs in one directory; the production writer is
+    sources/avro_io.write_avro — one container per partition via
+    mapInPandas, round-trip-tested against this same reader in
+    tests/test_avro_source.py."""
     from ..sources import avro_io
     from ..sources.avro_source import AvroContainerDataSource
 

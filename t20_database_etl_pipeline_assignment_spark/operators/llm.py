@@ -1176,12 +1176,36 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: calibration is a SAMPLED-corpus job at 100 TB — truth
     needs exact all-pairs-within-buckets, so you run the sweep on a few
-    hundred thousand sampled docs and apply the chosen b/r to the full
-    banded index; at fixture scale the sample is the corpus. The band
+    hundred thousand sampled docs (minhash_band_sweep(sample_pct=...),
+    the deterministic hash-mod sample below — tested against the full
+    truth at sf0.1 in tests/test_llm_ops.py) and apply the chosen b/r to
+    the full banded index; this registry face IS the sampled job with
+    the sample widened to the whole fixture corpus."""
+    return minhash_band_sweep(spark, sf_dir)
+
+
+def minhash_band_sweep(
+    spark: SparkSession, sf_dir: str, sample_pct: int | None = None
+) -> DataFrame:
+    """Core of dedup_minhash_band_sweep, with the 100 TB calibration knob
+    as real code: `sample_pct` keeps a deterministic hash-mod sample of
+    BASE documents (hash60(doc_id || '|bandsweep') % 100 < sample_pct —
+    sample_stratified's RNG-free idiom: reproducible across reruns and
+    partitionings, pure map, no shuffle) and every kept doc's clone rides
+    along, so the J=1 clone pairs the truth set needs survive sampling
+    intact. Both the signature path and the exact truth tier see the SAME
+    sampled corpus — exactly what a production calibration run does
+    before applying the chosen b/r to the full banded index. The band
     join is equi-keyed on (nb, band, key); the truth join is the same
     shingle inverted index dedup_ngram_jaccard ships; signatures are
     12 min-aggs in ONE pass over the staged shingle relation."""
     sh = corpus_shingles(spark, sf_dir)
+    if sample_pct is not None:
+        sh = sh.filter(
+            hash60(F.concat(F.col("doc_id").cast("string"), F.lit("|bandsweep")))
+            % 100
+            < sample_pct
+        )
     sig0 = sh.groupBy("doc_id").agg(
         *[
             F.min(hash60(F.concat(F.col("shingle"), F.lit(f":{p}")))).alias(f"mh{p}")
@@ -1226,7 +1250,11 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    shc = cloned_shingles(spark, sf_dir)
+    # the truth tier's cloned shingles derive from the SAME (possibly
+    # sampled) base relation as the signatures — identical text means the
+    # clone's shingles are the base rows under doc_id+1000000, and when
+    # sampling, a kept doc keeps its clone (pair-preserving)
+    shc = sh.unionByName(sh.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
     sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # PPJoin-style size-compatibility prune (same move as
     # dedup_ngram_jaccard): J >= 0.5 forces max(sz) <= 2*min(sz), so the
@@ -3216,8 +3244,11 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the scrubbed text's md5 so the gate hashes the actual
     reassembled corpus, plus exact kept/removed counts.
 
-    Scale shape: strictly linear, and NO shuffle ever carries segment
-    text. Segment strings are replaced by their 8-byte xxhash64 key the
+    Scale shape: strictly linear, and no frequency-pipeline shuffle ever
+    carries segment text (the single doc-keyed reassembly join is the one
+    exchange text may cross — see below; the plan pin in
+    tests/test_plan_quality.py caps it at one).
+    Segment strings are replaced by their 8-byte xxhash64 key the
     moment they leave the document row (the digest-before-shuffle move
     dedup_prefix makes), so the document-frequency distinct+groupBy and
     the boilerplate join move only (doc_id, seg_idx, seg_key) rows

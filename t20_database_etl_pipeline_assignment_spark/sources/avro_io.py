@@ -23,8 +23,10 @@ Scope (documented, spec-complete for the fixture surface):
 - logical types are passed through as their underlying primitive (the
   same choice DuckDB's read_parquet makes for unannotated int96 etc.).
 
-Writer exists so tests and the `scan_avro` staging step can produce real
-container files offline; its sync marker is derived deterministically
+Two writers: `write_container` (single file, driver/test-side) and
+`write_avro` (the production sink — one container per partition via
+mapInPandas, encoding on the executors, schema derived from the
+DataFrame by `avro_schema`). Sync markers are derived deterministically
 from the schema text so identical inputs yield byte-identical files.
 """
 
@@ -447,3 +449,192 @@ def spark_ddl(schema: dict) -> str:
     if schema.get("type") != "record":
         raise ValueError("avro: top-level schema must be a record")
     return ", ".join(f"{f['name']} {_spark_type(f['type'])}" for f in schema["fields"])
+
+
+def avro_schema(spark_schema: Any, name: str = "record") -> dict:
+    """Inverse of spark_ddl: derive the Avro record schema for a Spark
+    StructType, covering the same type surface the reader declares
+    (primitives, arrays, string-keyed maps, nested records; a nullable
+    field becomes the 2-branch ["null", T] union). Unsupported Spark
+    types (timestamp, date, decimal) are rejected loudly by name —
+    fail-at-plan-time, never a wrong encode on the executors."""
+    from pyspark.sql import types as T
+
+    def field_type(dt: Any, nm: str = "") -> Any:
+        prim = {
+            T.BooleanType: "boolean",
+            T.IntegerType: "int",
+            T.ShortType: "int",
+            T.ByteType: "int",
+            T.LongType: "long",
+            T.FloatType: "float",
+            T.DoubleType: "double",
+            T.BinaryType: "bytes",
+            T.StringType: "string",
+        }.get(type(dt))
+        if prim is not None:
+            return prim
+        if isinstance(dt, T.ArrayType):
+            items = field_type(dt.elementType, f"{nm}_item")
+            if dt.containsNull:
+                items = ["null", items]
+            return {"type": "array", "items": items}
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise NotImplementedError(
+                    f"avro: map keys must be string, got {dt.keyType}"
+                )
+            values = field_type(dt.valueType, f"{nm}_value")
+            if dt.valueContainsNull:
+                values = ["null", values]
+            return {"type": "map", "values": values}
+        if isinstance(dt, T.StructType):
+            # nested record names are field-path derived (deterministic —
+            # the sync marker is md5(schema JSON), so names must be stable)
+            return {
+                "type": "record",
+                "name": nm or name,
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": ["null", field_type(f.dataType, f"{nm}_{f.name}")]
+                        if f.nullable
+                        else field_type(f.dataType, f"{nm}_{f.name}"),
+                    }
+                    for f in dt.fields
+                ],
+            }
+        raise NotImplementedError(f"avro: unsupported Spark type {dt}")
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {
+                "name": f.name,
+                "type": ["null", field_type(f.dataType, f"{name}_{f.name}")]
+                if f.nullable
+                else field_type(f.dataType, f"{name}_{f.name}"),
+            }
+            for f in spark_schema.fields
+        ],
+    }
+
+
+def _cell(v: Any, avro_t: Any) -> Any:
+    """Normalize one pandas cell to the plain-Python value _encode expects:
+    pandas/Arrow nulls (None / NaN / NaT / pd.NA) become None; numpy
+    scalars become Python ints/floats/bools; list/map/struct cells recurse
+    so nested numpy elements encode correctly."""
+    import pandas as pd
+
+    if isinstance(avro_t, list):  # ["null", T]
+        inner = [b for b in avro_t if b != "null"][0]
+        return None if _is_na(v) else _cell(v, inner)
+    if isinstance(avro_t, str):
+        if _is_na(v):
+            return None  # encoder will raise on a non-null schema: fail loud
+        if avro_t in ("int", "long"):
+            return int(v)
+        if avro_t in ("float", "double"):
+            return float(v)
+        if avro_t == "boolean":
+            return bool(v)
+        if avro_t == "bytes":
+            return bytes(v)
+        return v
+    t = avro_t["type"]
+    if _is_na(v):
+        return None
+    if t == "array":
+        return [_cell(x, avro_t["items"]) for x in v]
+    if t == "map":
+        return {k: _cell(x, avro_t["values"]) for k, x in dict(v).items()}
+    if t == "record":
+        return {
+            f["name"]: _cell(v[f["name"]], f["type"]) for f in avro_t["fields"]
+        }
+    return v
+
+
+def _is_na(v: Any) -> bool:
+    """pd.isna that is safe on list/array/dict cells (where pandas would
+    return an elementwise array instead of a scalar)."""
+    import pandas as pd
+
+    if v is None:
+        return True
+    if isinstance(v, (list, tuple, dict, bytes, str)):
+        return False
+    try:
+        na = pd.isna(v)
+    except (TypeError, ValueError):
+        return False
+    return bool(na) if isinstance(na, bool) or not hasattr(na, "__len__") else False
+
+
+def write_avro(
+    df: Any,
+    path: str,
+    codec: str = "null",
+    records_per_block: int = 4096,
+    name: str = "record",
+) -> list[tuple[str, int]]:
+    """Distributed Avro sink: ONE object-container file per input
+    partition, written executor-side via mapInPandas over write_container
+    — the production counterpart of scan_avro's bounded driver-side
+    fixture writer. The driver only derives the schema, clears the target
+    directory, and collects the tiny per-partition manifest (file,
+    n_records); record encoding and container framing all happen on the
+    executors, so a 1000-executor job writes 1000 containers in parallel
+    with no driver materialization. Empty partitions write no file (the
+    reader's empty-container scan still handles hand-made empties).
+
+    Memory shape: one partition's rows are buffered per task (exactly what
+    the Parquet writer's row-group buffer does); size partitions upstream
+    with repartition()/maxPartitionBytes as for any columnar sink. Local
+    paths require a shared filesystem in cluster mode — same contract as
+    every file sink in this repo.
+
+    Determinism: container bytes are write_container's deterministic
+    framing; file names are partition ordinals, so identical (df
+    partitioning, codec) inputs produce an identical directory."""
+    import os
+
+    if codec not in _CODECS:
+        raise NotImplementedError(f"avro: codec {codec!r}")
+    schema = avro_schema(df.schema, name)
+    col_types = {f["name"]: f["type"] for f in schema["fields"]}
+    cols = [f.name for f in df.schema.fields]
+    os.makedirs(path, exist_ok=True)
+    for f in os.listdir(path):  # overwrite semantics, .avro files only
+        if f.endswith(".avro"):
+            os.remove(os.path.join(path, f))
+
+    def _write_partition(pdfs: Iterator[Any]) -> Iterator[Any]:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            yield pd.DataFrame({"file": pd.Series([], dtype="str"),
+                                "n_records": pd.Series([], dtype="int64")})
+            return
+        recs: list[dict] = []
+        for p in parts:
+            cells = {c: [_cell(v, col_types[c]) for v in p[c]] for c in cols}
+            recs.extend(
+                {c: cells[c][i] for c in cols} for i in range(len(p))
+            )
+        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        write_container(
+            fname, schema, recs, codec=codec,
+            records_per_block=records_per_block,
+        )
+        yield pd.DataFrame({"file": [fname], "n_records": [len(recs)]})
+
+    manifest = df.mapInPandas(
+        _write_partition, "file string, n_records long"
+    ).collect()
+    return sorted((r.file, r.n_records) for r in manifest)

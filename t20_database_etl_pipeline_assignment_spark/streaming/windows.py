@@ -415,16 +415,24 @@ def _last_touch_fn(key, pdfs, state):
     key), so same-microsecond click+purchase resolves identically to the
     batch face; across batches the state carries the newest click forward
     (correct when micro-batches arrive in event-time order per user — the
-    availableNow parity shape; late clicks are the batch face's job)."""
+    availableNow parity shape; late clicks are the batch face's job).
+
+    Null tolerance matches the batch face's two last(ignorenulls) windows:
+    a click whose props lack '"k": N' (channel null → pandas NaN) still
+    advances click_us but leaves click_channel at the last non-null value
+    (None if no channeled click yet), so an attributed purchase can emit a
+    null channel exactly like the batch face — never a raised batch."""
     import pandas as pd
 
-    click_us, click_channel = state.get if state.exists else (-1, -1)
+    click_us, click_channel = state.get if state.exists else (-1, None)
     out = {"user_id": [], "event_id": [], "channel": [], "value": []}
     rows = pd.concat(list(pdfs))
     rows = rows.sort_values(["us", "kind", "event_id"])
     for r in rows.itertuples():
         if r.kind == 0:
-            click_us, click_channel = int(r.us), int(r.channel)
+            click_us = int(r.us)
+            if not pd.isna(r.channel):
+                click_channel = int(r.channel)
         else:
             hit = click_us >= 0 and (r.us - click_us) <= _ATTR_WINDOW_US_STREAM
             out["user_id"].append(key[0])

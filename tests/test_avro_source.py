@@ -364,3 +364,88 @@ def test_spark_scan_snappy_zstd(spark, tmp_path):
     assert [(r.k, r.v) for r in rows] == [
         (i, None if i % 3 else f"v{i}") for i in range(200)
     ]
+
+
+def test_write_avro_distributed_roundtrip(spark, sf_dir, tmp_path):
+    """The production sink (write_avro — one container per partition,
+    encoded executor-side via mapInPandas) must round-trip the customer
+    dim bit-exactly: Spark writes N containers, the t20_avro source reads
+    them back, and the multiset of rows hash-matches the parquet
+    original. Also pins the distributed shape: one .avro file per
+    non-empty partition, manifest counts summing to the table size."""
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+
+    src = table(spark, sf_dir, "customer")
+    d = str(tmp_path / "avro_sink")
+    manifest = avro_io.write_avro(src.repartition(5), d, codec="deflate")
+    n_src = src.count()
+    assert len(manifest) == 5  # one container per partition
+    assert sum(n for _, n in manifest) == n_src
+    assert sorted(os.path.basename(f) for f, _ in manifest) == [
+        f"part-{i:05d}.avro" for i in range(5)
+    ]
+
+    spark.dataSource.register(AvroContainerDataSource)
+    got = spark.read.format("t20_avro").load(d)
+    assert got.schema == src.schema  # avro_schema/spark_ddl are inverses
+
+    def canon(df):
+        return sorted(repr(tuple(r)) for r in df.collect())
+
+    assert canon(got) == canon(src)
+
+
+def test_write_avro_skips_empty_partitions_and_overwrites(spark, tmp_path):
+    """Empty partitions write no container; a second write_avro to the
+    same directory replaces the previous .avro files (overwrite
+    semantics) instead of accreting stale parts."""
+    d = str(tmp_path / "sink")
+    df = spark.range(10).repartition(8)  # some partitions will be empty
+
+    m1 = avro_io.write_avro(df, d, codec="null")
+    assert sum(n for _, n in m1) == 10
+    assert all(n > 0 for _, n in m1)  # no empty containers written
+    first_files = {f for f, _ in m1}
+    assert {os.path.join(d, x) for x in os.listdir(d)} == first_files
+
+    m2 = avro_io.write_avro(spark.range(3).repartition(1), d, codec="null")
+    assert sum(n for _, n in m2) == 3
+    spark.dataSource.register(AvroContainerDataSource)
+    got = spark.read.format("t20_avro").load(d)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2]
+
+
+def test_write_avro_nested_nullable_types(spark, tmp_path):
+    """avro_schema + the executor-side cell normalization must cover the
+    reader's full type lattice: nullable primitives (Arrow nulls arrive
+    as NaN/None), arrays, string-keyed maps, and nested structs."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(k=1, v="a", score=1.5, tags=["x", "y"],
+            attrs={"n": 2}, pos=Row(x=1, y=2)),
+        Row(k=2, v=None, score=None, tags=[],
+            attrs={}, pos=Row(x=3, y=None)),
+        Row(k=3, v="c", score=-0.25, tags=["z"],
+            attrs={"m": 5, "n": 6}, pos=None),
+    ]
+    df = spark.createDataFrame(rows)
+    d = str(tmp_path / "nested")
+    avro_io.write_avro(df.repartition(2), d, codec="zstandard")
+    spark.dataSource.register(AvroContainerDataSource)
+    got = spark.read.format("t20_avro").load(d)
+    assert got.schema == df.schema
+
+    def canon(x):
+        return sorted(repr(tuple(r)) for r in x.collect())
+
+    assert canon(got) == canon(df)
+
+
+def test_write_avro_rejects_unsupported_types(spark):
+    """Timestamp columns have no mapping in the supported lattice — the
+    sink must reject them at schema-derivation time on the driver, not
+    mis-encode on the executors."""
+    df = spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts")
+    with pytest.raises(NotImplementedError, match="avro: unsupported"):
+        avro_io.write_avro(df, "/tmp/never-written")

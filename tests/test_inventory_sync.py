@@ -48,6 +48,18 @@ def test_inventory_count_line_is_current():
     assert int(m2.group(1)) + int(m2.group(2)) == len(QUERIES), (
         f"SURVEY breakdown {m2.group(1)}+{m2.group(2)} != registry {len(QUERIES)}"
     )
+    # the split itself (not just the sum) must match the tables: count
+    # rows before vs after the §2.L header so a row moving between
+    # sections can't silently drift the prose (round-7 lesson: the band
+    # sweep landed in §2.J and the prose said 81+183 for a round)
+    l_hdr = s.find("### L. Implemented beyond")
+    assert l_hdr != -1, "SURVEY §2.L header not found"
+    rows_ak = len(re.findall(r"^\| `([a-z0-9_]+)` \|", s[:l_hdr], re.M))
+    rows_l = len(re.findall(r"^\| `([a-z0-9_]+)` \|", s[l_hdr:], re.M))
+    assert (int(m2.group(1)), int(m2.group(2))) == (rows_ak, rows_l), (
+        f"SURVEY breakdown {m2.group(1)}+{m2.group(2)} != table split "
+        f"{rows_ak}+{rows_l}"
+    )
     # no OTHER stale whole-registry counts may appear in the inventory
     # paragraph (round-2 lesson: a prose 'all 166 re-verified' drifted)
     para = s[m2.start() : s.find("---", m2.start())]

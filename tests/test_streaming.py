@@ -882,3 +882,55 @@ def test_stream_rolling_active_users_parity(spark, sf_dir):
     want = QUERIES["rolling_active_users"](spark, sf_dir)
     cols = ["day", "dau", "wau", "stickiness"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_last_touch_kernel_tolerates_null_channel():
+    """A click whose props lack '"k": N' reaches the kernel with channel =
+    NaN; the kernel must not raise (int(NaN) would fail the whole
+    micro-batch) — it advances click_us, keeps the last non-null channel,
+    and emits None when no channeled click exists, matching the batch
+    face's two last(ignorenulls) windows."""
+    import pandas as pd
+
+    from t20_database_etl_pipeline_assignment_spark.streaming.windows import (
+        _last_touch_fn,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    # batch 1: a channel-less click, then a purchase -> attributed hit but
+    # channel is unknown (None), exactly like the batch face's output
+    st = FakeState()
+    pdf = pd.DataFrame(
+        {
+            "us": [1_000_000, 2_000_000],
+            "kind": [0, 1],
+            "event_id": [1, 2],
+            "channel": [float("nan"), float("nan")],
+            "value": [0.0, 9.99],
+        }
+    )
+    (out1,) = list(_last_touch_fn((7,), iter([pdf]), st))
+    assert list(out1["event_id"]) == [2]
+    assert out1["channel"][0] is None
+    assert st.get == (1_000_000, None)
+
+    # batch 2: a channeled click then a channel-less click then a purchase
+    # -> click_us advances to the later click, channel stays at the last
+    # non-null value (3)
+    pdf2 = pd.DataFrame(
+        {
+            "us": [3_000_000, 4_000_000, 5_000_000],
+            "kind": [0, 0, 1],
+            "event_id": [3, 4, 5],
+            "channel": [3.0, float("nan"), float("nan")],
+            "value": [0.0, 0.0, 1.50],
+        }
+    )
+    (out2,) = list(_last_touch_fn((7,), iter([pdf2]), st))
+    assert list(out2["channel"]) == [3]
+    assert st.get == (4_000_000, 3)

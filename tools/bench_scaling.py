@@ -179,9 +179,16 @@ SPOT_QUERIES = [
 # temp-dir/memory-limit fix made big oracles routine), plus the Q11
 # DECIMAL(38,0)/HUGEINT scalar-threshold oracle — the class that actually
 # breaks engines at 100x group sizes
+# round-8: + the two calibration faces whose VALUE is a measured curve
+# (IVF recall-vs-nprobe, MinHash banding recall/precision) — prove the
+# curves hold at 100x, not just at fixture scale. Their exact truth tiers
+# stay linear on the big fixture because _perturb_documents gives every
+# copy a disjoint token vocabulary (no cross-copy shingle/neighbor blow-up).
 SF10_SPOT = SF10_HEADLINE + [
     "sql_local_supplier_share",
     "sql_value_share_threshold",
+    "sim_ann_ivf_recall_curve",
+    "dedup_minhash_band_sweep",
 ]
 
 FLAG_SLACK = 1.2   # ratio > factor * slack => super-linear, flag it

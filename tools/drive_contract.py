@@ -76,12 +76,110 @@ def oracle_con(sf: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+_CORE_FP_CACHE: dict[str, str] = {}
+
+
+def _package_core_hash() -> str:
+    """md5 of every package module OUTSIDE the operators/ and streaming/
+    trees (exprs, registry, sources, functions, plans, pipeline, session,
+    __init__s) plus __spark_entry__.py. operators/ and streaming/ modules
+    are covered per-defining-module (plus their one-level package-internal
+    imports) in query_fingerprint, so edits there invalidate only the
+    affected modules' queries instead of every carry."""
+    import hashlib
+
+    if "core" in _CORE_FP_CACHE:
+        return _CORE_FP_CACHE["core"]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "t20_database_etl_pipeline_assignment_spark")
+    files = [os.path.join(repo, "__spark_entry__.py")]
+    for root, dirs, names in os.walk(pkg):
+        dirs[:] = [x for x in dirs if x not in ("operators", "streaming", "__pycache__")]
+        files += [os.path.join(root, n) for n in sorted(names) if n.endswith(".py")]
+    h = hashlib.md5()
+    for p in sorted(files):
+        with open(p, "rb") as f:
+            h.update(p.encode() + b"\x00" + f.read() + b"\x00")
+    _CORE_FP_CACHE["core"] = h.hexdigest()
+    return _CORE_FP_CACHE["core"]
+
+
+_PKG = "t20_database_etl_pipeline_assignment_spark"
+
+
+def _module_hash(mod_file: str) -> str:
+    """md5 of a defining module's source PLUS the source of every
+    package-internal module it imports (one static level, relative or
+    absolute). Closes the cross-module helper gap the defining-module
+    hash alone leaves open — streaming/scd2_sink.py imports from
+    operators/etl.py, operators/quality.py from operators/llm.py,
+    streaming/cdc_sink.py from streaming/scd2_sink.py — so editing the
+    imported helper module invalidates the importer's carried records
+    too. One level suffices for the package's import graph; deeper
+    shared code lives in the core modules hashed by _package_core_hash."""
+    import hashlib
+    import re
+
+    with open(mod_file, "rb") as f:
+        src = f.read()
+    text = src.decode("utf-8", "replace")
+    deps: set[str] = set()
+    pkg_root = mod_file
+    while os.path.basename(os.path.dirname(pkg_root)) != _PKG and _PKG in pkg_root:
+        pkg_root = os.path.dirname(pkg_root)
+    pkg_dir = os.path.dirname(pkg_root)  # .../t20_..._spark
+
+    def add_candidate(base_dir: str, dotted: str, names: list[str]) -> None:
+        parts = [p for p in dotted.split(".") if p]
+        stem = os.path.join(base_dir, *parts) if parts else base_dir
+        if os.path.isfile(stem + ".py"):
+            deps.add(stem + ".py")
+            return
+        if os.path.isdir(stem):  # `from ..sources import avro_io, tables`
+            init = os.path.join(stem, "__init__.py")
+            if os.path.isfile(init):
+                deps.add(init)
+            for n in names:
+                cand = os.path.join(stem, n + ".py")
+                if os.path.isfile(cand):
+                    deps.add(cand)
+
+    for m in re.finditer(
+        r"^\s*from (\.+)([\w.]*) import ([\w, ()*]+)", text, re.M
+    ):
+        dots, rel, names = m.group(1), m.group(2), m.group(3)
+        base = os.path.dirname(mod_file)
+        for _ in range(len(dots) - 1):
+            base = os.path.dirname(base)
+        add_candidate(base, rel, [n.strip() for n in names.split(",")])
+    for m in re.finditer(
+        rf"^\s*from ({_PKG})([\w.]*) import ([\w, ()*]+)", text, re.M
+    ):
+        add_candidate(pkg_dir, m.group(2), [n.strip() for n in m.group(3).split(",")])
+
+    h = hashlib.md5(src)
+    for p in sorted(deps):
+        if os.path.abspath(p) == os.path.abspath(mod_file):
+            continue
+        with open(p, "rb") as f:
+            h.update(b"\x00" + p.encode() + b"\x00" + f.read())
+    return h.hexdigest()
+
+
 def query_fingerprint(qid: str, fn, oracle: str) -> str:
-    """Identity of what a record PROVED: the operator's source + its oracle
-    SQL. --resume may only carry an 'ok' record whose fingerprint still
-    matches — editing either the Spark code or the oracle invalidates the
-    carried result (round-7 lesson: a resumed big-fixture artifact would
-    otherwise keep green records for queries whose code has since changed)."""
+    """Identity of what a record PROVED: the operator's own source + its
+    oracle SQL + the FULL source of its defining module AND that module's
+    one-level package-internal imports (so edits to shared
+    helpers/constants — corpus_shingles, _ivf_build, _tokens, _SCRUB_DF,
+    or a helper in an imported sibling module like operators/etl.py —
+    invalidate the affected queries' carries too) + a hash of the
+    non-operator package core (exprs/registry/sources/functions/plans,
+    see _package_core_hash). --resume may only carry an 'ok' record whose
+    fingerprint still matches — editing the Spark code, a same-module or
+    core helper, or the oracle invalidates the carried result (round-7
+    lesson: a resumed big-fixture artifact would otherwise keep green
+    records for queries whose code has since changed; round-8 widening:
+    operator-body-only hashing missed shared-helper edits)."""
     import hashlib
     import inspect
 
@@ -89,7 +187,19 @@ def query_fingerprint(qid: str, fn, oracle: str) -> str:
         src = inspect.getsource(fn)
     except (OSError, TypeError):  # builtins / dynamically built callables
         src = repr(fn)
-    return hashlib.md5((src + "\x00" + oracle).encode()).hexdigest()[:16]
+    mod = getattr(fn, "__module__", "")
+    if mod not in _CORE_FP_CACHE:
+        try:
+            mod_file = inspect.getsourcefile(sys.modules[mod])
+            _CORE_FP_CACHE[mod] = _module_hash(mod_file)
+        except (KeyError, OSError, TypeError):
+            _CORE_FP_CACHE[mod] = hashlib.md5(mod.encode()).hexdigest()
+    return hashlib.md5(
+        (
+            src + "\x00" + oracle + "\x00" + _CORE_FP_CACHE[mod]
+            + "\x00" + _package_core_hash()
+        ).encode()
+    ).hexdigest()[:16]
 
 
 def canon(pdf: pd.DataFrame) -> str:
