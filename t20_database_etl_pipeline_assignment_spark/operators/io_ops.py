@@ -303,6 +303,30 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sink_avro", oracle="SELECT * FROM customer")
+def sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Avro sink (reference README.md:10 "load ... multiple
+    formats" family): the customer dim written with
+    sources/avro_io.write_avro — ONE object-container file per partition,
+    records encoded EXECUTOR-side via mapInPandas, Avro schema derived
+    from the DataFrame (avro_schema) — then read back through the same
+    t20_avro block-split source and hash-matched against the parquet
+    original. This is the production counterpart of scan_avro's bounded
+    driver-side fixture write: a 1000-executor job writes 1000 containers
+    in parallel with no driver materialization, and the deflate codec
+    proves compressed framing round-trips. The driver only collects the
+    per-partition (file, n_records) manifest."""
+    from ..sources.avro_io import write_avro
+    from ..sources.avro_source import AvroContainerDataSource
+
+    path = _tmp(sf_dir, "avro_sink")
+    write_avro(
+        table(spark, sf_dir, "customer").repartition(4), path, codec="deflate"
+    )
+    spark.dataSource.register(AvroContainerDataSource)
+    return spark.read.format("t20_avro").load(path)
+
+
 @query(
     "full_load",
     oracle=f"""
