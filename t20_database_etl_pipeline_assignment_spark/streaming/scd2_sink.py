@@ -169,9 +169,12 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
             fold.skipped.append(batch_id)  # re-delivered: already published
             return
         day = F.date_trunc("day", F.col(ts_col))
-        all_days = [
-            r["d"] for r in batch_df.select(day.alias("d")).distinct().orderBy("d").collect()
-        ]  # bounded: distinct event-days inside ONE micro-batch
+        all_days = (
+            batch_df.agg(
+                F.sort_array(F.collect_set(day)).alias("ds")
+            ).collect()[0]["ds"]
+        )  # bounded: distinct event-days inside ONE micro-batch, one
+        # map-side-combined aggregate (a distinct+orderBy was a second stage)
         _t = _mark("days_collect", _t)
         if not all_days:
             return
@@ -226,17 +229,22 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
             # ONE-PASS MULTI-DAY FOLD (round-8 perf rework; rows produced
             # are identical to the former per-day scd2_apply loop — the
             # module docstring's fold≡rebuild induction IS this
-            # equivalence): per-(key, day) latest snapshots of the batch,
-            # seeded with each batch key's published current row (its
-            # effective_from as the seed "day"), then drop consecutive
-            # no-op days and rebuild bands with lead(). The per-day loop
-            # needed one self-referencing scd2_apply join PLUS a
+            # equivalence): union the batch rows with EVERY published
+            # current row (the current's effective_from stands in as its
+            # "day": effective_from values are day boundaries by
+            # construction and strictly precede every foldable batch day),
+            # take per-(key, day) latest snapshots, drop consecutive no-op
+            # days, rebuild bands with lead(). A current row with no batch
+            # events is a single-event group and reproduces itself
+            # verbatim, so no key-set join is needed at all. The per-day
+            # loop needed one self-referencing scd2_apply join PLUS a
             # localCheckpoint per event-day (scd2_apply consumes `target`
             # twice, so an uncheckpointed chain recomputes exponentially);
-            # this is ONE window pass + one semi/anti join against the
-            # dimension and zero checkpoints in the normal path — per
-            # micro-batch, k dimension-sized shuffles become one, at toy
-            # scale and at 100 TB alike.
+            # this plan has ONE exchange (repartition on keys — both the
+            # per-day argmax window and the band windows are satisfied by
+            # it), zero joins, zero broadcasts, zero checkpoints in the
+            # normal path. Same O(dimension) per batch the old full-outer
+            # scd2_apply paid, with k event-days for the price of one.
             rows = batch_df.select(*keys, *attrs, ts_col, tiebreak)
             if late_days:
                 rows = rows.filter(~day.isin(late_days))
@@ -267,8 +275,29 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
                         F.lit(_FAR_FUTURE).cast("timestamp"),
                     ).otherwise(F.col("effective_to")),
                 )
+            hist = None
+            if target is not None:
+                # every published current row enters the fold as its own
+                # seed event (effective_from as ts; tiebreak null — seed
+                # (key, day) groups are singletons, so the argmax order
+                # never looks at it); seed days never collide with batch
+                # days (non-refold days exceed last_day >= every
+                # effective_from; the refold rollback drops from==head)
+                ts_t = dict(batch_df.dtypes)[ts_col]
+                tb_t = dict(batch_df.dtypes)[tiebreak]
+                seed = target.filter(F.col("is_current")).select(
+                    *keys,
+                    *attrs,
+                    F.col("effective_from").cast(ts_t).alias(ts_col),
+                    F.lit(None).cast(tb_t).alias(tiebreak),
+                )
+                rows = rows.unionByName(seed)
+                hist = target.filter(~F.col("is_current"))
+            # one exchange for the whole fold: hash(keys) satisfies both
+            # the (keys, _d) argmax window and the (keys) band windows
             snap = (
-                rows.withColumn("_d", day.cast("timestamp"))
+                rows.repartition(*keys)
+                .withColumn("_d", day.cast("timestamp"))
                 .withColumn(
                     "_rn",
                     F.row_number().over(
@@ -280,31 +309,15 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
                 .filter(F.col("_rn") == 1)
                 .select(*keys, *attrs, ts_col, tiebreak, "_d")
             )
+            # seed rows can never surface here: their _d predates days[-1]
             snap_final = snap.filter(
                 F.col("_d") == F.lit(str(days[-1])).cast("timestamp")
             ).select(*log_cols)
-            events = snap.select(*keys, *attrs, "_d")
-            untouched = None
-            if target is not None:
-                batch_keys = snap.select(*keys).distinct()
-                seed = (
-                    target.filter(F.col("is_current"))
-                    .join(batch_keys, on=list(keys), how="left_semi")
-                    .select(*keys, *attrs, F.col("effective_from").alias("_d"))
-                )
-                # seed "day" (= effective_from) is strictly before every
-                # batch day: non-refold days exceed last_day >= all
-                # effective_from; the refold rollback drops from==head
-                # rows — so (key, _d) never collides between seed and snap
-                events = events.unionByName(seed)
-                untouched = target.filter(~F.col("is_current")).unionByName(
-                    target.filter(F.col("is_current")).join(
-                        batch_keys, on=list(keys), how="left_anti"
-                    )
-                )
             wd = Window.partitionBy(*keys).orderBy("_d")
-            lagged = events.select(
-                "*",
+            lagged = snap.select(
+                *keys,
+                *attrs,
+                "_d",
                 F.lag("_d").over(wd).alias("_pd"),
                 *[F.lag(a).over(wd).alias(f"_p_{a}") for a in attrs],
             )
@@ -323,16 +336,10 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
                 F.lead("_d").over(wd).isNull().alias("is_current"),
             )
             target = (
-                untouched.unionByName(folded.select(*untouched.columns))
-                if untouched is not None
+                hist.unionByName(folded.select(*hist.columns))
+                if hist is not None
                 else folded
             )
-            # materialize the folded dimension ONCE: publish writes it and
-            # the sidecar in separate actions (and the late path joins it
-            # twice more) — without this each consumer re-evaluates the
-            # whole fold DAG, which measured slower than the single
-            # checkpoint job (see SOAK_STREAMING.json phase breakdown)
-            target = target.localCheckpoint()
         _t = _mark("fold", _t)
         new_last = str(days[-1]) if days else last_day
         if not days:
@@ -349,13 +356,20 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
             # in-order fold above. Joins are semi/anti on the (small)
             # affected-key set; cost scales with those keys' log rows.
             affected = (
-                batch_df.filter(day.isin(late_days))
-                .select(*keys)
-                .distinct()
-                .localCheckpoint()
+                batch_df.filter(day.isin(late_days)).select(*keys).distinct()
             )
             log_df = spark.read.parquet(dim_path + _LOG_SUFFIX).select(*log_cols)
-            aff_log = log_df.join(affected, on=list(keys), how="left_semi")
+            # materialize the affected keys' log slice ONCE: it feeds both
+            # the history rebuild and the head-day sidecar recompute, and
+            # an uncheckpointed aff_log re-scans the whole bronze log
+            # (O(batches) subdirs) per consumer — the dominant reconcile
+            # cost in the soak's phase breakdown. `affected` itself stays
+            # lazy: it is a tiny distinct over one micro-batch, cheaper to
+            # re-derive as a broadcast build than to checkpoint as its own
+            # Spark action.
+            aff_log = log_df.join(
+                affected, on=list(keys), how="left_semi"
+            ).localCheckpoint()
             tgt_types = dict(target.dtypes)
             rebuilt = scd2_fold_log(aff_log, keys, attrs, ts_col, tiebreak)
             rebuilt = rebuilt.select(

@@ -148,11 +148,16 @@ def soak_scd2(spark, work_dir: str, n_batches: int = 100, seed: int = 20260814) 
         "sec_per_batch": round(wall / n_batches, 3),
         # per-phase wall attribution (judge round-7 item #6): the per-batch
         # constant is per-Spark-action overhead x a bounded action count —
-        # days probe (1), bronze log append (1), fold materialization (1),
-        # dim + sidecar publish (2), and on late batches the bounded
-        # reconcile (3 more). CDC's ~0.5 s/batch is its single action.
-        # ~76% of generated batches carry a late straggler by design
-        # (15%/event), so the reconcile path dominates the delta vs CDC.
+        # days probe (1), bronze log append (1), dim + sidecar publish (2);
+        # the fold itself is action-free since the round-8 one-pass rework
+        # (its phase time is driver-side plan building). Late batches add
+        # the bounded reconcile: 3 actions, dominated by the O(batches)
+        # bronze-log metadata scan (the log-rebuild contract requires
+        # reading the affected keys' full history; a production deployment
+        # amortizes this with periodic log compaction). ~76% of generated
+        # batches carry a late straggler by design (15%/event), so the
+        # reconcile path is most of the delta vs CDC's single ~0.5 s
+        # action per batch.
         "phase_sec_per_batch": {
             k: round(v / n_batches, 3) for k, v in sorted(sink.phase_sec.items())
         },
