@@ -108,6 +108,91 @@ def atomic_swap_publish(
 
 
 _LOG_SUFFIX = ".log"  # bronze event-log sidecar, OUTSIDE the swapped dir
+_COMPACT_TARGET_BYTES = 128 * 1024 * 1024  # merged-file sizing, not a knob
+
+
+def _log_runs(log_dir: str) -> list[tuple[int, int, str]]:
+    """Parse the log's batch subdirs into (start, end, name) runs, sorted by
+    start. A plain append is `batch=<id>` (start == end); a compacted run is
+    `batch=<a>-<b>` (inclusive). Anything unparsable is ignored, matching
+    Spark's reader (underscore tmp dirs are invisible to both)."""
+    runs = []
+    try:
+        names = os.listdir(log_dir)
+    except OSError:
+        return []
+    for name in names:
+        if not name.startswith("batch="):
+            continue
+        a, _, b = name[len("batch="):].partition("-")
+        try:
+            runs.append((int(a), int(b) if b else int(a), name))
+        except ValueError:
+            continue
+    return sorted(runs)
+
+
+_COMPACT_FANOUT = 4  # runs merged per carry; 4 ⇒ ≤3·log4(batches)+3 dirs
+
+
+def _compact_log(spark, dim_path: str, upto: int) -> None:
+    """Size-tiered compaction of the bronze event log: keep the log at
+    O(log batches) directories so the reconcile path's full-history read
+    stays metadata-cheap at ANY stream length, instead of listing one
+    subdir per micro-batch forever. Runs carry like a base-4 counter: when
+    the _COMPACT_FANOUT most-recent eligible runs all sit in the same size
+    tier (tier = bit_length(batch count)//2, i.e. size classes {1}, {2..7},
+    {8..31}, ... — merging 4 runs of tier t always lands in tier t+1, so
+    cascades provably terminate), ONE Spark read+write merges them, and the
+    merged run may cascade into the next tier. Amortized cost
+    is ~1/3 merge per batch and O(rows · log batches) total rewrite — the
+    merge-sort bound — while a plain per-batch log pays O(batches) listing
+    on every reconcile.
+
+    Only batches `<= upto` (the *previously published* state's batch_id) are
+    eligible: their subdirs are content-final and their batch_ids can never
+    be re-delivered past the fold's skip check, so deleting the merged
+    sources can never race a retry's exists-probe in `_append_batch_log`.
+    Crash-safety mirrors the append path: the merged run is written to an
+    underscore tmp (invisible to Spark) and renamed into place BEFORE the
+    sources are deleted; a crash between rename and cleanup leaves sources
+    fully contained in the new run's id range, and the containment heal
+    below removes them on the next fold — before any log read — so no
+    event is ever counted twice. Merged files are sized toward
+    _COMPACT_TARGET_BYTES via coalesce, so compaction also bounds file
+    count, not just dir count."""
+    log_dir = dim_path + _LOG_SUFFIX
+    # heal: a run fully contained in another is a stale merge source
+    runs = _log_runs(log_dir)
+    for a, b, name in runs:
+        if any(
+            (a2, b2) != (a, b) and a2 <= a and b <= b2 for a2, b2, _ in runs
+        ):
+            shutil.rmtree(os.path.join(log_dir, name), ignore_errors=True)
+    while True:
+        runs = [r for r in _log_runs(log_dir) if r[1] <= upto]
+        if len(runs) < _COMPACT_FANOUT:
+            return
+        tail = runs[-_COMPACT_FANOUT:]
+        tiers = {(b - a + 1).bit_length() // 2 for a, b, _ in tail}
+        if len(tiers) != 1:
+            return  # mixed tiers: the counter has no carry pending
+        srcs = [os.path.join(log_dir, n) for _, _, n in tail]
+        merged = spark.read.parquet(*srcs)
+        n_bytes = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d in srcs
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+        )
+        n_files = max(1, -(-n_bytes // _COMPACT_TARGET_BYTES))
+        lo, hi = tail[0][0], tail[-1][1]
+        tmp = os.path.join(log_dir, f"_tmpcompact.{lo}-{hi}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(log_dir, f"batch={lo}-{hi}"))
+        for d in srcs:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _append_batch_log(batch_df: DataFrame, dim_path: str, batch_id: int,
@@ -221,6 +306,10 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
         log_cols = [*keys, *attrs, ts_col, tiebreak]
         _append_batch_log(batch_df, dim_path, batch_id, log_cols)
         _t = _mark("log_append", _t)
+        # keep the bronze log at O(log batches) dirs (and heal any torn
+        # merge) BEFORE the reconcile path reads it below
+        _compact_log(spark, dim_path, st["batch_id"] if st is not None else -1)
+        _t = _mark("log_compact", _t)
         days = [d for d in all_days if d not in late_days]
         target = spark.read.parquet(dim_path) if st is not None else None
         w = Window.partitionBy(*keys).orderBy(F.desc(ts_col), F.desc(tiebreak))
@@ -362,8 +451,8 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
             # materialize the affected keys' log slice ONCE: it feeds both
             # the history rebuild and the head-day sidecar recompute, and
             # an uncheckpointed aff_log re-scans the whole bronze log
-            # (O(batches) subdirs) per consumer — the dominant reconcile
-            # cost in the soak's phase breakdown. `affected` itself stays
+            # (O(log batches) dirs, _compact_log) per consumer. `affected`
+            # itself stays
             # lazy: it is a tiny distinct over one micro-batch, cheaper to
             # re-derive as a broadcast build than to checkpoint as its own
             # Spark action.

@@ -934,3 +934,94 @@ def test_last_touch_kernel_tolerates_null_channel():
     (out2,) = list(_last_touch_fn((7,), iter([pdf2]), st))
     assert list(out2["channel"]) == [3]
     assert st.get == (4_000_000, 3)
+
+
+def test_scd2_sink_log_compaction(spark, tmp_path):
+    """The bronze event log stays at O(log batches) directories via the
+    base-4 tiered compaction (scd2_sink._compact_log): drive 26 sequential
+    micro-batches (with late stragglers so the reconcile path reads the
+    compacted log), then assert the dir bound, that no event was lost or
+    duplicated, that the dimension still equals the change-log rebuild, and
+    that a torn merge (crash between the rename and the source deletion)
+    heals on the next fold without double-counting."""
+    import datetime as dt
+    import math
+    import shutil as _shutil
+
+    from t20_database_etl_pipeline_assignment_spark.streaming.scd2_sink import (
+        _log_runs,
+        scd2_daily_fold_spec,
+        scd2_stream_sink,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    base = dt.datetime(2024, 3, 1)
+    n_batches, eid, batches, all_rows = 26, 0, [], []
+    for k in range(n_batches):
+        day = 1 + k // 2
+        rows = [
+            (eid, base + dt.timedelta(days=day - 1, hours=eid % 5),
+             1 + eid % 6, ["a", "b", "c"][eid % 3], float(1 + eid % 2)),
+            (eid + 1, base + dt.timedelta(days=day - 1, hours=(eid + 1) % 5),
+             1 + (eid + 1) % 6, ["a", "b", "c"][(eid + 1) % 3], 3.5),
+        ]
+        if k % 4 == 3:  # a straggler for an already-folded day
+            rows.append(
+                (eid + 2, base + dt.timedelta(days=max(0, day - 3), hours=2),
+                 1 + (eid + 2) % 6, "late", 9.0)
+            )
+        eid += len(rows)
+        batches.append(rows)
+        all_rows.extend(rows)
+    dim = str(tmp_path / "dim_compact")
+    sink = scd2_stream_sink(
+        dim, ["user_id"], ["event_type", "value"], late_policy="reconcile"
+    )
+    for i, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, schema), i)
+
+    runs = _log_runs(dim + ".log")
+    # base-4 carry: <=3 runs per tier + the not-yet-eligible tail
+    bound = 3 * (int(math.log(n_batches, 4)) + 1) + 3
+    assert len(runs) <= bound, (len(runs), bound, runs)
+    assert any("-" in n for _, _, n in runs), runs  # compaction actually ran
+    # every id covered exactly once, no overlap
+    covered = sorted((a, b) for a, b, _ in runs)
+    assert covered[0][0] == 0 and covered[-1][1] == n_batches - 1
+    assert all(p[1] < q[0] for p, q in zip(covered, covered[1:])), covered
+    assert spark.read.parquet(dim + ".log").count() == len(all_rows)
+
+    # the published dimension equals the change-log rebuild of ALL events
+    got = sorted(
+        spark.read.parquet(dim)
+        .select("user_id", "event_type", "value",
+                "effective_from", "effective_to", "is_current")
+        .collect(),
+        key=lambda r: (r.user_id, r.effective_from),
+    )
+    want = sorted(
+        scd2_daily_fold_spec(spark.createDataFrame(all_rows, schema))
+        .withColumn("effective_from", F.col("effective_from").cast("timestamp"))
+        .withColumn("effective_to", F.col("effective_to").cast("timestamp"))
+        .collect(),
+        key=lambda r: (r.user_id, r.effective_from),
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # torn merge: resurrect a stale source fully contained in a merged run
+    # (crash landed between the rename and the source rmtree) plus a
+    # stranded tmp dir; the next fold's heal must remove the stale source
+    # BEFORE any log read, so the log count never double-counts
+    a, b, name = next(r for r in _log_runs(dim + ".log") if "-" in r[2])
+    stale = os.path.join(dim + ".log", f"batch={a}-{a}")
+    _shutil.copytree(os.path.join(dim + ".log", name), stale)
+    os.makedirs(os.path.join(dim + ".log", "_tmpcompact.junk"), exist_ok=True)
+    extra = [(eid, base + dt.timedelta(days=20), 1, "z", 0.5)]
+    sink(spark.createDataFrame(extra, schema), n_batches)
+    assert not os.path.exists(stale)
+    assert (
+        spark.read.parquet(dim + ".log").count() == len(all_rows) + 1
+    )

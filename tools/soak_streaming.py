@@ -151,10 +151,10 @@ def soak_scd2(spark, work_dir: str, n_batches: int = 100, seed: int = 20260814) 
         # days probe (1), bronze log append (1), dim + sidecar publish (2);
         # the fold itself is action-free since the round-8 one-pass rework
         # (its phase time is driver-side plan building). Late batches add
-        # the bounded reconcile: 3 actions, dominated by the O(batches)
-        # bronze-log metadata scan (the log-rebuild contract requires
-        # reading the affected keys' full history; a production deployment
-        # amortizes this with periodic log compaction). ~76% of generated
+        # the bounded reconcile: 3 actions over an O(log batches)-dir log —
+        # the base-4 tiered compaction (scd2_sink._compact_log, ~1/3 merge
+        # action per batch, its own phase below) keeps the full-history
+        # read metadata-cheap at any stream length. ~76% of generated
         # batches carry a late straggler by design (15%/event), so the
         # reconcile path is most of the delta vs CDC's single ~0.5 s
         # action per batch.
