@@ -2769,6 +2769,173 @@ def emb_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Spherical k-means over embeddings (corpus clustering for curation)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _km_oracle() -> str:
+    """Loop-generated CTE chain replaying the identical deterministic
+    Lloyd iterations: seed with the _KM_K lowest vec_ids, then per
+    iteration argmax-cosine assignment (cell-asc tiebreak) and
+    integer-exact per-dimension means (same _SQL_IVF_MEAN idiom the IVF
+    build uses, so centroids are bit-identical across engines)."""
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, emb AS centroid FROM e "
+        f"ORDER BY vec_id LIMIT {_KM_K})",
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cell, csim FROM (
+    SELECT e.vec_id, c.cell,
+           list_cosine_similarity(e.emb, c.centroid) AS csim,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.emb, c.centroid) DESC,
+                      c.cell ASC) AS rn
+    FROM e CROSS JOIN c{i - 1} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"s{i} AS (SELECT CAST({i} AS INTEGER) AS iter, cell, "
+            f"COUNT(*) AS n_vectors, "
+            f"SUM(CAST(FLOOR((1.0 - csim) * 1000000.0 + 0.5) AS BIGINT)) AS si "
+            f"FROM a{i} GROUP BY cell)"
+        )
+        if i < _KM_ITERS:
+            parts.append(
+                f"""f{i} AS (
+  SELECT a{i}.cell, unnest(range(1, len(e.emb) + 1)) AS pos, unnest(e.emb) AS v
+  FROM e JOIN a{i} ON e.vec_id = a{i}.vec_id),
+m{i} AS (SELECT cell, pos, {_SQL_IVF_MEAN} AS m FROM f{i} GROUP BY cell, pos),
+c{i} AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM m{i} GROUP BY cell)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT iter, cell, n_vectors, "
+        f"CAST(si AS DOUBLE) / 1000000.0 AS inertia FROM s{i}"
+        for i in range(1, _KM_ITERS + 1)
+    )
+    return ",\n".join(parts) + f"\n{union}"
+
+
+@query("emb_kmeans_inertia", oracle=_km_oracle())
+def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means (Lloyd's) over the embedding corpus, emitting the
+    per-iteration convergence curve — (iter, cell, occupancy, inertia) —
+    the clustering pass a curation pipeline runs before cluster-balanced
+    sampling or topic bucketing, with the curve itself as evidence the
+    clustering converged rather than a take-it-on-faith assignment.
+
+    Determinism end-to-end, so the oracle replays the algorithm exactly:
+    seeds are the _KM_K lowest vec_ids; assignment is argmax cosine with a
+    cell-asc tiebreak (the fold-in-double cosine that DuckDB's
+    list_cosine_similarity matches bitwise); refit means accumulate exact
+    scaled integers per dimension (order-independent, the IVF-build idiom);
+    inertia is a per-vector micro-scaled integer (floor((1-cos)·1e6+0.5))
+    summed exactly — no float summation order anywhere.
+
+    Scale: assignment is SHUFFLE-FREE — the k centroids collapse into ONE
+    broadcast row carrying an array of (cell, centroid, norm) structs, and
+    the per-vector argmax is a narrow higher-order fold (transform +
+    array_min over struct(-csim, cell), whose lexicographic min IS the
+    cosine-desc/cell-asc argmax, order-independent so no window, no
+    corpus exchange). Per iteration the only exchanges are the two
+    k-sized partial-aggregated reduces (cell stats; (cell, pos) means) —
+    map-side combine shrinks both to k·dim rows before the wire.
+    Centroids are localCheckpointed per iteration so the unrolled loop
+    stays O(iters × corpus), not O(iters² × corpus) of re-derived lineage.
+    Iteration count is fixed (the curve IS the output); a
+    convergence-driven variant would stop on the same 1-row signature
+    idiom cluster_connected_components uses."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = (
+        e.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(F.col("vec_id").alias("cell"), F.col("emb").alias("centroid"))
+    )
+    scaled_v = F.floor(F.col("v") * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+    stats = []
+    for i in range(1, _KM_ITERS + 1):
+        cs_row = cents.select(
+            F.collect_list(
+                F.struct(
+                    F.col("cell"), F.col("centroid"), norm(F.col("centroid")).alias("cn")
+                )
+            ).alias("cs")
+        )
+        vn = norm(F.col("emb"))
+        dot = lambda c: F.aggregate(  # noqa: E731 — bound per candidate
+            F.zip_with(F.col("emb"), c["centroid"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    (-(dot(c) / (vn * c["cn"]))).alias("neg"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )
+        assign = (
+            e.crossJoin(F.broadcast(cs_row))
+            .select("vec_id", "emb", best.alias("b"))
+            .select(
+                "vec_id",
+                "emb",
+                F.col("b.cell").alias("cell"),
+                (-F.col("b.neg")).alias("csim"),
+            )
+        )
+        inertia_unit = F.floor(
+            (F.lit(1.0) - F.col("csim")) * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long")
+        stats.append(
+            assign.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                (
+                    F.sum(inertia_unit).cast("double") / F.lit(1000000.0)
+                ).alias("inertia"),
+            )
+            .select(
+                F.lit(i).cast("int").alias("iter"), "cell", "n_vectors", "inertia"
+            )
+        )
+        if i < _KM_ITERS:
+            means = (
+                assign.select("cell", F.posexplode("emb").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(
+                    (
+                        F.sum(scaled_v).cast("double")
+                        / F.lit(1000000000.0)
+                        / F.count(F.lit(1)).cast("double")
+                    ).alias("m")
+                )
+            )
+            cents = (
+                means.groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("centroid")
+                )
+                .localCheckpoint()
+            )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Containment dedup (excerpt / quote detection)
 # ---------------------------------------------------------------------------
 

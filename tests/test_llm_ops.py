@@ -1032,3 +1032,25 @@ def test_band_sweep_sampled_truth_tracks_full(spark):
         return min(nb for nb in curve if curve[nb]["recall_milli"] >= 990)
 
     assert operating_point(samp) == operating_point(full)
+
+
+def test_emb_kmeans_inertia_curve(spark, sf_dir):
+    """Lloyd's invariants on the fixture: every iteration assigns the whole
+    corpus exactly once (occupancies sum to the corpus size), and the
+    integer-exact inertia is non-increasing across iterations — the
+    monotone-descent property that makes the emitted curve evidence of
+    convergence rather than decoration."""
+    from t20_database_etl_pipeline_assignment_spark.operators.llm import (
+        _KM_ITERS,
+        _KM_K,
+    )
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+
+    p = QUERIES["emb_kmeans_inertia"](spark, sf_dir).toPandas()
+    n_corpus = table(spark, sf_dir, "embeddings").count()
+    assert sorted(p["iter"].unique()) == list(range(1, _KM_ITERS + 1))
+    per_iter = p.groupby("iter").agg(n=("n_vectors", "sum"), i=("inertia", "sum"))
+    assert (per_iter["n"] == n_corpus).all(), per_iter
+    assert (p.groupby("iter")["cell"].count() <= _KM_K).all()
+    inertias = per_iter["i"].tolist()
+    assert all(a >= b for a, b in zip(inertias, inertias[1:])), inertias

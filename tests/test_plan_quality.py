@@ -547,3 +547,23 @@ def test_ann_recall_curve_joins_are_broadcast(spark, sf_dir):
     join anywhere here would re-sort the corpus for 100-row lookup tables."""
     plan = plan_of(QUERIES["sim_ann_ivf_recall_curve"](spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_emb_kmeans_assignment_is_shuffle_free(spark, sf_dir):
+    """emb_kmeans_inertia's 100 TB claim: assignment never exchanges the
+    corpus. The k centroids collapse to ONE broadcast array row and the
+    per-vector argmax is a narrow array_min fold, so the plan must contain
+    no Window and no hash exchange keyed on vec_id (the corpus key) — the
+    only exchanges are the k-sized aggregation reduces on cell/(cell, pos),
+    each behind a map-side partial aggregate."""
+    plan = plan_of(QUERIES["emb_kmeans_inertia"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "hashpartitioning(vec_id" not in plan, plan
+    for section in plan.split("\n(")[1:]:
+        header = section.split("\n", 1)[0]
+        if "Exchange" in header and "Broadcast" not in header:
+            # SinglePartition exchanges here are the k-row centroid
+            # collect (bounded by k, never the corpus)
+            assert "cell" in section or "SinglePartition" in section, (
+                f"non-cell-keyed corpus exchange: {section}"
+            )
