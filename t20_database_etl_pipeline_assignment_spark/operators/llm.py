@@ -2043,6 +2043,156 @@ def sim_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the IVF train/assign CTE block shared with sim_ann_ivf's oracle — the
+# deterministic seeded-centroid + one-Lloyd-iteration index both engines
+# replay identically (see _ivf_build for the integer-exact mean rationale)
+_SQL_IVF_CTES = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (SELECT vec_id AS cell, emb AS centroid FROM e ORDER BY vec_id LIMIT {_IVF_CELLS}),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.emb, s.centroid) DESC, s.cell ASC) AS rn
+    FROM e CROSS JOIN seeds s) WHERE rn = 1),
+flat AS (
+  SELECT a0.cell,
+         unnest(range(1, len(e.emb) + 1)) AS pos,
+         unnest(e.emb) AS v
+  FROM e JOIN a0 ON e.vec_id = a0.vec_id),
+means AS (
+  SELECT cell, pos, {_SQL_IVF_MEAN} AS m
+  FROM flat GROUP BY cell, pos),
+refined AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM means GROUP BY cell),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, r.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.emb, r.centroid) DESC, r.cell ASC) AS rn
+    FROM e CROSS JOIN refined r) WHERE rn = 1)"""
+
+
+@query(
+    "sim_ann_ivf_adc",
+    oracle=_SQL_IVF_CTES
+    + f""",
+res AS (
+  SELECT e.vec_id, a1.cell,
+         list_transform(range(1, len(e.emb) + 1),
+                        i -> e.emb[i] - r.centroid[i]) AS rv
+  FROM e JOIN a1 ON e.vec_id = a1.vec_id
+  JOIN refined r ON a1.cell = r.cell),
+scaled AS (
+  SELECT vec_id, cell, rv,
+         CASE WHEN list_max(list_transform(rv, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(rv, x -> abs(x)))
+              ELSE 1.0 END AS scale
+  FROM res),
+codes AS (
+  SELECT vec_id, cell, scale,
+         list_transform(rv, x -> CAST(FLOOR(x * scale + 0.5) AS BIGINT)) AS qv
+  FROM scaled),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, r.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.q_emb, r.centroid) DESC, r.cell ASC) AS rn
+    FROM q CROSS JOIN refined r) WHERE rn <= {_IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.q_emb,
+           list_transform(range(1, len(c.qv) + 1),
+                          i -> r.centroid[i] + c.qv[i] / c.scale)), 6) AS sim_adc
+  FROM codes c
+  JOIN probes p ON c.cell = p.cell
+  JOIN refined r ON c.cell = r.cell
+  JOIN q ON p.query_id = q.query_id
+  WHERE c.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, sim_adc
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim_adc DESC, neighbor_id ASC) AS rn
+      FROM cand)
+WHERE rn <= 5
+""",
+)
+def sim_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC: the memory-bound scale path of the IVF index — the
+    inverted file stores int8-quantized RESIDUALS (vector − its cell
+    centroid) instead of float32 vectors, and search scores candidates by
+    asymmetric distance (full-precision query against reconstructed
+    centroid + dequantized residual). This is the FAISS IVF-SQ8 shape: at
+    100 TB the codes table is 4× smaller than the float corpus, which is
+    the difference between an inverted file that fits hot storage and one
+    that doesn't; scan bytes per probe drop by the same 4×.
+
+    Build: one map over the corpus (residual against its assigned
+    centroid, per-vector symmetric absmax int8 — the emb_quantize_int8
+    rule) joined to the 16-row broadcast centroid table; persisted per
+    fixture alongside the IVF index (build once, probe many). Search:
+    identical probe-join shape to sim_ann_ivf (broadcast probes + equi
+    cell key), with reconstruction `centroid + qv/scale` as a narrow
+    zip_with — no extra shuffle anywhere versus the float path.
+
+    Every step is deterministic double/integer arithmetic (exact residual
+    subtraction, exact absmax scale, floor(x·s + 0.5) codes, same-operand
+    reconstruction), so the oracle replays the identical index + codes +
+    search in SQL and this face is fully value-hash checked. ADC-vs-exact
+    ranking agreement is measured in tests/test_llm_ops.py.
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, assignment = _ivf_build(spark, sf_dir, e)
+    ed = F.col("embedding").cast("array<double>")
+    cd = F.col("centroid").cast("array<double>")
+
+    def build_codes() -> DataFrame:
+        rv = F.zip_with(ed, cd, lambda x, c: x - c)
+        with_rv = (
+            e.join(assignment, "vec_id")
+            .join(F.broadcast(centroids), "cell")
+            .withColumn("rv", rv)
+            .withColumn("absmax", F.array_max(F.transform("rv", lambda x: F.abs(x))))
+        )
+        scale = F.when(F.col("absmax") > 0, F.lit(127.0) / F.col("absmax")).otherwise(
+            F.lit(1.0)
+        )
+        return (
+            with_rv.withColumn("scale", scale)
+            .withColumn(
+                "qv",
+                F.transform(
+                    "rv", lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("long")
+                ),
+            )
+            .select("vec_id", "cell", "scale", "qv")
+        )
+
+    codes = _cached_df(spark, _index_cache_dir(sf_dir, "ivf_adc_codes"), build_codes)
+
+    queries = e.filter(F.col("vec_id") < 10)
+    probes = _ivf_nearest_cells(queries, centroids, _IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    q_emb = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    xhat = F.zip_with(cd, F.col("qv"), lambda c, v: c + v / F.col("scale"))
+    cand = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(centroids), "cell")
+        .join(F.broadcast(q_emb), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), xhat), 6).alias("sim_adc"),
+        )
+    )
+    # each neighbor lives in exactly one cell -> no distinct needed
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_adc"), F.asc("neighbor_id"))
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
 @query(
     "emb_norm_stats",
     oracle=f"""

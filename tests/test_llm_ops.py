@@ -141,6 +141,34 @@ def test_ann_ivf_recall(spark, sf_dir):
             assert v == exact_pairs[k]
 
 
+def test_ann_ivf_adc_tracks_float_path(spark, sf_dir):
+    """The int8-residual ADC tier must be a near-free compression of the
+    float IVF path: (a) recall@5 vs the EXACT top-5 stays >= 0.8 (measured
+    0.94 at sf0.001, 0.86 at sf0.01 — within one neighbor of float IVF's
+    own 0.90); (b) its candidate set agrees with float IVF's >= 0.9 (same
+    cells probed, ranking perturbed only by quantization); (c) on shared
+    pairs the reconstructed score is within 0.01 of the float score (the
+    absmax-int8 residual bound — measured max error 0.0016)."""
+    adc = {
+        (r.query_id, r.neighbor_id): r.sim_adc
+        for r in QUERIES["sim_ann_ivf_adc"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in QUERIES["sim_ann_ivf"](spark, sf_dir).collect()
+    }
+    recall = len(adc.keys() & exact.keys()) / len(exact)
+    assert recall >= 0.8, f"ADC recall@5 dropped to {recall:.3f}"
+    agree = len(adc.keys() & ivf.keys()) / len(ivf)
+    assert agree >= 0.9, f"ADC/float-IVF candidate agreement {agree:.3f}"
+    for k in adc.keys() & ivf.keys():
+        assert abs(adc[k] - ivf[k]) <= 0.01, (k, adc[k], ivf[k])
+
+
 def test_ann_ivf_recall_curve_model(spark, sf_dir):
     """Numpy replay of the whole recall curve: exact top-10 ground truth,
     IVF cell assignment + per-query cell ranking, and the hit counts at

@@ -162,6 +162,9 @@ _BNLJ_ALLOWED = {
     "text_tfidf_topterms",   # 1-row corpus-size broadcast
     "sim_cosine_topk",       # tiny query-set broadcast, no equi key
     "sim_ann_ivf",           # 1-row centroid-count broadcast
+    "sim_ann_ivf_adc",       # 16-row centroid broadcast (probe ranking)
+    "emb_kmeans_inertia",    # 1-row broadcast centroid-array (k centroids
+    #                          collapse to one row; assignment stays narrow)
     "sim_ann_ivf_recall_curve",  # exact-truth query-set broadcast (as
     #                          sim_cosine_topk) + 4-row nprobe x tiny
     #                          hits/1-row count broadcasts
@@ -566,4 +569,26 @@ def test_emb_kmeans_assignment_is_shuffle_free(spark, sf_dir):
             # collect (bounded by k, never the corpus)
             assert "cell" in section or "SinglePartition" in section, (
                 f"non-cell-keyed corpus exchange: {section}"
+            )
+
+
+def test_ivf_adc_search_is_broadcast_probe_over_codes(spark, sf_dir):
+    """IVF-ADC's 100 TB claim: probe-time work is the corpus-sized int8
+    CODES table hash-equi-joined to broadcast probes/centroids/queries on
+    the cell key — never sort-merge — and the float corpus embeddings must
+    not ride any shuffle (the codes scan reads qv/scale, not embedding;
+    reconstruction is a narrow zip_with after the broadcast joins). The
+    only hashpartitioning Exchange is the final per-query candidate
+    window, which carries reconstructed scores, not the corpus."""
+    plan = plan_of(QUERIES["sim_ann_ivf_adc"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # probe-time corpus scan is the persisted codes table, already
+    # embedding-free (the 4x-smaller inverted file IS the scan)
+    assert "ivf_adc_codes" in plan, plan
+    for section in plan.split("\n(")[1:]:
+        header = section.split("\n", 1)[0]
+        if "Exchange hashpartitioning" in header:
+            assert "embedding#" not in section, (
+                f"float corpus vectors in a shuffle: {section}"
             )

@@ -144,6 +144,7 @@ WARM = [
     "dedup_minhash_lsh",
     "dedup_cascade",
     "sim_ann_ivf",
+    "sim_ann_ivf_adc",
     "cluster_connected_components",
     "text_fingerprint",
     "join_bucketed_colocated",
@@ -189,6 +190,9 @@ SF10_SPOT = SF10_HEADLINE + [
     "sql_value_share_threshold",
     "sim_ann_ivf_recall_curve",
     "dedup_minhash_band_sweep",
+    # round-8: the int8-residual ADC tier — prove the quantized inverted
+    # file reconstructs the same ranked answers at 100x corpus size
+    "sim_ann_ivf_adc",
 ]
 
 FLAG_SLACK = 1.2   # ratio > factor * slack => super-linear, flag it

@@ -119,6 +119,15 @@ SHOWCASE = [
         "skips row groups on statistics and the query reads a fraction of "
         "the fact table; no join, one 1-row fold.",
     ),
+    (
+        "sim_ann_ivf_adc",
+        "IVF-ADC search: the probe-time corpus scan is the persisted int8 "
+        "codes table (ivf_adc_codes in the scan location — 4x smaller than "
+        "the float corpus, no embedding column anywhere downstream of it); "
+        "probes, centroids, and queries all arrive as BroadcastHashJoin on "
+        "the cell/query key, reconstruction is a narrow zip_with, and the "
+        "only keyed Exchange is the final per-query candidate window.",
+    ),
 ]
 
 
