@@ -1106,19 +1106,41 @@ _SWEEP_J = 0.5
 
 @query(
     "dedup_minhash_band_sweep",
+    # sf10 lesson (the DuckDB spill class the round-7 verdict warned
+    # about): signatures ride per-doc shingle LISTS (one list_min per
+    # permutation — no 12x unnest + giant GROUP BY), clones inherit the
+    # base signature instead of recomputing it (identical text => same
+    # sig, exactly what the Spark side does), the exact-intersection join
+    # carries the same PPJoin size prune the Spark plan ships, and the
+    # cloned-corpus truth set derives from base-base J via the clone
+    # identity J(a, b+1M) = J(a, b) and J(a, a+1M) = 1. Every
+    # multiply-referenced CTE is pinned AS MATERIALIZED: DuckDB inlines
+    # shared CTEs per reference, so without the pin the signature and
+    # shingle pipelines execute 4x CONCURRENTLY (cand x2 -> bk x2 each)
+    # and their combined hash state spills the host disk dry at sf10 even
+    # though each pipeline alone runs in seconds, in-memory. Same values
+    # on every row; the old explode-everything form spilled >80 GB.
     oracle=f"""
-WITH docs_in AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000, text FROM documents),
-{_SQL_SHINGLES},
+WITH docs_in AS (SELECT doc_id, text FROM documents),
+shing AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM docs_in)),
+doclists AS MATERIALIZED (
+  SELECT doc_id, list(shingle) AS sl FROM shing GROUP BY doc_id),
 mh AS (
   SELECT doc_id, p,
-         MIN({_sql_hash60("shingle || ':' || p")}) AS v
-  FROM shing CROSS JOIN unnest(range(0, {_SWEEP_PERMS})) AS t(p)
-  GROUP BY doc_id, p),
-sig AS (SELECT doc_id, list(v ORDER BY p) AS s FROM mh GROUP BY doc_id),
-bk AS (
+         list_min(list_transform(sl,
+           s -> {_sql_hash60("s || ':' || p")})) AS v
+  FROM doclists CROSS JOIN unnest(range(0, {_SWEEP_PERMS})) AS t(p)),
+sig0 AS MATERIALIZED (
+  SELECT doc_id, list(v ORDER BY p) AS s FROM mh GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, s FROM sig0
+  UNION ALL
+  SELECT doc_id + 1000000, s FROM sig0),
+bk AS MATERIALIZED (
   SELECT doc_id, nb, j,
          array_to_string(list_transform(
            range(j * ({_SWEEP_PERMS} // nb) + 1, (j + 1) * ({_SWEEP_PERMS} // nb) + 1),
@@ -1126,20 +1148,31 @@ bk AS (
   FROM sig
   CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in _SWEEP_BANDS)}]) AS nb)
   CROSS JOIN unnest(range(0, nb)) AS u(j)),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.nb, a.doc_id AS doc1, b.doc_id AS doc2
   FROM bk a JOIN bk b
     ON a.nb = b.nb AND a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+sizes AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id),
+szd AS MATERIALIZED (
+  SELECT s.doc_id, s.shingle, z.sz FROM shing s JOIN sizes z USING (doc_id)),
 inter AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
-  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM szd a JOIN szd b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND b.sz <= 2 * a.sz AND a.sz <= 2 * b.sz
   GROUP BY 1, 2),
-truth AS (
+bt AS MATERIALIZED (
   SELECT doc1, doc2 FROM inter
   JOIN sizes sa ON doc1 = sa.doc_id
   JOIN sizes sb ON doc2 = sb.doc_id
   WHERE round(i / (1.0 * (sa.sz + sb.sz - i)), 6) >= {_SWEEP_J}),
+truth AS MATERIALIZED (
+  SELECT doc1, doc2 FROM bt
+  UNION ALL SELECT doc1 + 1000000, doc2 + 1000000 FROM bt
+  UNION ALL SELECT doc1, doc2 + 1000000 FROM bt
+  UNION ALL SELECT doc2, doc1 + 1000000 FROM bt
+  UNION ALL SELECT doc_id, doc_id + 1000000 FROM doclists),
 nt AS (SELECT COUNT(*) AS n_true_pairs FROM truth),
 rec AS (
   SELECT c.nb, COUNT(*) AS n_recalled
@@ -1263,21 +1296,35 @@ def minhash_band_sweep(
     szd = shc.join(F.broadcast(sizes), "doc_id")
     sa = szd.alias("sa")
     sb = szd.alias("sb")
+    pair_rows = sa.join(
+        sb,
+        (F.col("sa.shingle") == F.col("sb.shingle"))
+        & (F.col("sa.doc_id") < F.col("sb.doc_id"))
+        & (F.col("sb.sz") <= F.lit(2) * F.col("sa.sz"))
+        & (F.col("sa.sz") <= F.lit(2) * F.col("sb.sz")),
+    ).select(
+        F.col("sa.doc_id").alias("doc1"),
+        F.col("sb.doc_id").alias("doc2"),
+        F.col("sa.sz").alias("sza"),
+        F.col("sb.sz").alias("szb"),
+    )
+    # market_basket_pairs lesson (BENCH_BASKET.json): pair keys out of an
+    # inverted-index fan-out are mostly unique, so a map-side partial
+    # combine buys nothing while its hash state is exactly what OOMs a
+    # 1 GiB x 32-thread vanilla session — pre-partitioning on the group
+    # keys makes Catalyst plan ONE complete aggregate whose state is
+    # sized by pairs/partition, and 2x grain halves that again
     inter = (
-        sa.join(
-            sb,
-            (F.col("sa.shingle") == F.col("sb.shingle"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id"))
-            & (F.col("sb.sz") <= F.lit(2) * F.col("sa.sz"))
-            & (F.col("sa.sz") <= F.lit(2) * F.col("sb.sz")),
+        pair_rows.repartition(
+            2 * int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "doc1",
+            "doc2",
         )
-        .groupBy(
-            F.col("sa.doc_id").alias("doc1"), F.col("sb.doc_id").alias("doc2")
-        )
+        .groupBy("doc1", "doc2")
         .agg(
             F.count(F.lit(1)).alias("i"),
-            F.first(F.col("sa.sz")).alias("sza"),
-            F.first(F.col("sb.sz")).alias("szb"),
+            F.first("sza").alias("sza"),
+            F.first("szb").alias("szb"),
         )
     )
     truth = inter.filter(
