@@ -1045,8 +1045,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly 1.0 vs the exact all-pairs set so a regenerated fixture
     with an unluckily-missed moderate pair fails the loud test, not the
     opaque hash gate."""
-    sh = cloned_shingles(spark, sf_dir)
-
     # Probe the PERSISTED fixture-keyed band index (corpus_minhash_bands:
     # 64 seeded-xxhash64 min-aggs → 16×4 banding, built once per fixture,
     # shared with the incremental path) instead of recomputing 64 min-hash
@@ -1068,29 +1066,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    # exact-Jaccard verification of candidates only
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("doc1") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc2") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # Exact-Jaccard verification of candidates only — via per-doc shingle
+    # LISTS, not the exploded (doc_id, shingle) relation. The old shape
+    # (cand ⋈ shingles ⋈ shingles → groupBy(pair) count) shuffled the
+    # cloned shingle corpus twice plus a pairs×shingles fan-out, and its
+    # pair-key hash aggregation was the one remaining spill-heavy sf10
+    # headliner (1.9 GB memory spill / 10.2 GB peak stage memory,
+    # BENCH_SCALING.json r8). Folding each doc's distinct shingles into
+    # one array row and computing |A∩B| with array_intersect per candidate
+    # eliminates the pair aggregation entirely (no hash state keyed by
+    # mostly-unique pairs) and moves the corpus across the wire once as
+    # n_docs list rows instead of twice as exploded rows. Only BASE lists
+    # are built: the clone's text is identical, so a candidate id maps to
+    # its base list via doc_id % 1000000 (same clone identity the band
+    # index already exploits) — and the two list joins hash the identical
+    # subplan on doc_id, so Catalyst reuses one exchange for both probes.
+    doc_lists = corpus_shingles(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles")
     )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
+    la = doc_lists.alias("la")
+    lb = doc_lists.alias("lb")
     return (
-        inter.join(za, F.col("doc1") == F.col("za.doc_id"))
-        .join(zb, F.col("doc2") == F.col("zb.doc_id"))
+        cand.join(la, (F.col("doc1") % 1000000) == F.col("la.doc_id"))
+        .join(lb, (F.col("doc2") % 1000000) == F.col("lb.doc_id"))
+        .withColumn(
+            "i", F.size(F.array_intersect("la.shingles", "lb.shingles"))
+        )
         .withColumn(
             "jaccard",
             F.round(
-                F.col("i") / (F.lit(1.0) * (F.col("za.sz") + F.col("zb.sz") - F.col("i"))),
+                F.col("i")
+                / (
+                    F.lit(1.0)
+                    * (
+                        F.size("la.shingles")
+                        + F.size("lb.shingles")
+                        - F.col("i")
+                    )
+                ),
                 6,
             ),
         )
