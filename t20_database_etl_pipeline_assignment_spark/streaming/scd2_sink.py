@@ -229,14 +229,19 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
     - "fail" (default): raise, as before — the operator decides.
     - "reconcile": route the late rows through a BOUNDED re-fold — the
       affected keys (those with late rows; typically a tiny fraction of
-      the dimension) are rebuilt from the full bronze log with the
-      one-pass `scd2_fold_log`, replacing their published history, while
-      all other keys take the normal in-order day fold. Cost is
-      O(log-rows-of-affected-keys), not O(dimension), and the result
-      converges to the same rows as a change-log rebuild over ALL events
-      (tests/test_streaming.py proves it). Requires the log to have been
-      maintained from batch 0 (`has_log` in the state marker); a
-      pre-log dimension fails loudly toward scd2_rebuild_from_log."""
+      the dimension) are re-folded from the bronze log SINCE the earliest
+      late day only, seeded with each key's published band effective at
+      that boundary; fully-earlier bands are kept verbatim and all other
+      keys take the normal in-order day fold. Cost is
+      O(affected-keys' log rows since the earliest late day), not
+      O(their full history) and not O(dimension) — with day-old lateness
+      over years of history the log slice's ts predicate prunes old runs
+      via parquet min/max stats — and the result converges to the same
+      rows as a change-log rebuild over ALL events
+      (tests/test_streaming.py and the hypothesis property prove it).
+      Requires the log to have been maintained from batch 0 (`has_log`
+      in the state marker); a pre-log dimension fails loudly toward
+      scd2_rebuild_from_log."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time
@@ -438,29 +443,69 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
                 os.path.join(dim_path, _SNAP_DIR)
             ).localCheckpoint()
         if late_days:
-            # BOUNDED RECONCILIATION: the affected keys' history is
-            # replaced by the one-pass fold of the full bronze log (which
-            # already includes this batch), and their head-day sidecar
-            # rows are recomputed from the log — everything else keeps the
-            # in-order fold above. Joins are semi/anti on the (small)
-            # affected-key set; cost scales with those keys' log rows.
+            # BOUNDED RECONCILIATION, day-pruned (round-9): the affected
+            # keys are re-folded from the bronze log SINCE d0 = the
+            # earliest late day only, each seeded with its published band
+            # effective at d0⁻ (effective_from < d0 <= effective_to) as a
+            # synthetic event at its own effective_from — the same seed
+            # trick the in-order fold uses for current rows. Bands fully
+            # before d0 (effective_to < d0) are kept verbatim: the
+            # published dimension equals fold(full log) inductively (the
+            # soak's convergence assertion), late rows are all >= d0, so
+            # pre-d0 bands cannot change. The ts >= d0 predicate pushes to
+            # the log scan, where parquet min/max row-group stats skip
+            # compacted runs that predate d0 entirely — reconcile cost is
+            # O(affected keys' rows since d0), not O(their full history).
+            # The head-day sidecar rows are recomputed from the same slice
+            # (new_last > every late day >= d0, so day new_last is in it);
+            # everything else keeps the in-order fold above. Joins are
+            # semi/anti on the (small) affected-key set.
+            if days:
+                # the in-order fold above feeds the anti join, the
+                # seed-band slice, and the publish write — materialize its
+                # window plan once instead of re-executing it per consumer
+                target = target.localCheckpoint()
             affected = (
                 batch_df.filter(day.isin(late_days)).select(*keys).distinct()
             )
+            ts_t = dict(batch_df.dtypes)[ts_col]
+            tb_t = dict(batch_df.dtypes)[tiebreak]
+            d0 = F.lit(str(min(late_days))).cast(ts_t)
             log_df = spark.read.parquet(dim_path + _LOG_SUFFIX).select(*log_cols)
             # materialize the affected keys' log slice ONCE: it feeds both
-            # the history rebuild and the head-day sidecar recompute, and
-            # an uncheckpointed aff_log re-scans the whole bronze log
-            # (O(log batches) dirs, _compact_log) per consumer. `affected`
-            # itself stays
-            # lazy: it is a tiny distinct over one micro-batch, cheaper to
-            # re-derive as a broadcast build than to checkpoint as its own
-            # Spark action.
-            aff_log = log_df.join(
-                affected, on=list(keys), how="left_semi"
-            ).localCheckpoint()
+            # the history re-fold and the head-day sidecar recompute, and
+            # an uncheckpointed aff_log re-scans the log slice per
+            # consumer. `affected` itself stays lazy: it is a tiny
+            # distinct over one micro-batch, cheaper to re-derive as a
+            # broadcast build than to checkpoint as its own Spark action.
+            aff_log = (
+                log_df.filter(F.col(ts_col) >= d0)
+                .join(affected, on=list(keys), how="left_semi")
+                .localCheckpoint()
+            )
             tgt_types = dict(target.dtypes)
-            rebuilt = scd2_fold_log(aff_log, keys, attrs, ts_col, tiebreak)
+            # every pre-d0 band of an affected key enters the re-fold as a
+            # synthetic event at its own effective_from (attrs = band
+            # attrs, tiebreak null): consecutive bands differ by the SCD2
+            # invariant, so the fold's no-op suppression regenerates each
+            # verbatim and lead() re-derives the d0-straddling band's
+            # effective_to together with the post-d0 slice. Seed (key,
+            # day) groups are singletons (every seed day < d0 <= every
+            # slice day), so the null tiebreak never orders anything.
+            seeds = (
+                target.join(affected, on=list(keys), how="left_semi")
+                .filter(F.col("effective_from") < d0)
+                .select(
+                    *keys,
+                    *attrs,
+                    F.col("effective_from").cast(ts_t).alias(ts_col),
+                    F.lit(None).cast(tb_t).alias(tiebreak),
+                )
+            )
+            rebuilt = scd2_fold_log(
+                aff_log.select(*seeds.columns).unionByName(seeds),
+                keys, attrs, ts_col, tiebreak,
+            )
             rebuilt = rebuilt.select(
                 *keys,
                 *attrs,
@@ -472,10 +517,14 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
                 ),
                 "is_current",
             )
+            # no localCheckpoint on the final relations: target/snap_final
+            # are each consumed once by atomic_swap_publish, which writes
+            # to the tmp dir BEFORE the renames — every parquet read in
+            # their lineage resolves while the live dir still exists, and
+            # two materialization jobs per reconcile batch disappear
             target = (
                 target.join(affected, on=list(keys), how="left_anti")
                 .unionByName(rebuilt.select(*target.columns))
-                .localCheckpoint()
             )
             head_snap = (
                 aff_log.filter(
@@ -488,7 +537,6 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
             snap_final = (
                 snap_final.join(affected, on=list(keys), how="left_anti")
                 .unionByName(head_snap)
-                .localCheckpoint()
             )
         _t = _mark("reconcile", _t)
         atomic_swap_publish(
