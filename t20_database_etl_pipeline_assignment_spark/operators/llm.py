@@ -2216,6 +2216,81 @@ def sim_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
 
 
+_SEMANTIC_TAU = 0.99
+
+
+@query(
+    "dedup_semantic_cluster",
+    oracle=_SQL_IVF_CTES
+    + f""",
+vecs AS (
+  SELECT e.vec_id, a1.cell, e.emb FROM e JOIN a1 ON e.vec_id = a1.vec_id
+  UNION ALL
+  SELECT e.vec_id + 1000000, a1.cell, e.emb FROM e JOIN a1 ON e.vec_id = a1.vec_id),
+pairs AS (
+  SELECT a.vec_id AS keep_cand, b.vec_id AS drop_id, a.cell AS cell,
+         round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+  FROM vecs a JOIN vecs b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= {_SEMANTIC_TAU})
+SELECT drop_id, canonical_id, cell, sim
+FROM (SELECT drop_id, keep_cand AS canonical_id, cell, sim,
+             ROW_NUMBER() OVER (PARTITION BY drop_id ORDER BY keep_cand ASC) AS rn
+      FROM pairs)
+WHERE rn = 1
+""",
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): block the corpus
+    by the LEARNED IVF cell (unsupervised k-means coarse quantizer, the
+    persisted _ivf_build index the ANN tiers probe) instead of a supplied
+    label, compare pairs only within a cell at cosine >= 0.99, and greedily
+    elect the lowest qualifying vec_id as each duplicate's canonical.
+    Output: one row per dropped vector — (drop_id, canonical_id, cell,
+    sim-with-canonical). Complements dedup_embedding_cosine (label-blocked)
+    with the blocking a real curation pipeline has to LEARN, and
+    dedup_cluster_canonical (shingle-graph transitive election) with the
+    greedy min-id-per-pair election SemDeDup uses inside clusters.
+
+    Clone identity everywhere: the id-shifted clone corpus inherits the
+    base assignment (identical embedding => identical argmax cell), so the
+    persisted base index serves both and exact-dup recall is 1.0 by
+    construction — a clone always shares its original's cell and pairs at
+    sim 1.0 (tests/test_llm_ops.py pins this plus the cross-cell-miss
+    accounting vs the global brute-force pair set).
+
+    Scale: the within-cell quadratic is the SemDeDup design point — cell
+    count grows ~sqrt(N) with the corpus so cell populations stay bounded,
+    and the Arrow-batched block-pair kernel (_pairwise_cosine_grouped)
+    caps any one task at block_size^2 sims regardless of how hot a cell
+    gets. Nothing corpus-sized crosses the wire except the one hash
+    exchange on cell that the pairing inherently needs; the election is a
+    per-drop_id argmin window on the (tiny) above-threshold pair set."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, assignment = _ivf_build(spark, sf_dir, e)
+    vecs = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + F.lit(1000000)))
+    indexed = (
+        vecs.withColumn("base_id", F.col("vec_id") % 1000000)
+        .join(
+            assignment.select(F.col("vec_id").alias("base_id"), "cell"),
+            "base_id",
+        )
+        .select("vec_id", F.col("cell").cast("int").alias("label"), "embedding")
+    )
+    pairs = _pairwise_cosine_grouped(indexed, tau=_SEMANTIC_TAU)
+    w = Window.partitionBy("id2").orderBy(F.asc("id1"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id2").alias("drop_id"),
+            F.col("id1").alias("canonical_id"),
+            F.col("label").cast("bigint").alias("cell"),
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
 @query(
     "emb_norm_stats",
     oracle=f"""

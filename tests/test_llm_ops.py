@@ -1082,3 +1082,55 @@ def test_emb_kmeans_inertia_curve(spark, sf_dir):
     assert (p.groupby("iter")["cell"].count() <= _KM_K).all()
     inertias = per_iter["i"].tolist()
     assert all(a >= b for a, b in zip(inertias, inertias[1:])), inertias
+
+
+def test_semantic_cluster_dedup_model(spark, sf_dir):
+    """Full model reconciliation of dedup_semantic_cluster against the
+    global brute-force pair set: (1) exact-dup recall is 1.0 by the clone
+    identity (a clone shares its original's IVF cell and pairs at sim
+    1.0, so every clone is dropped with a canonical at or below its
+    base); (2) the emitted rows are EXACTLY the greedy min-id election
+    over the within-cell subset of the global cosine>=tau truth; (3)
+    every true pair the face misses is cross-cell — the SemDeDup
+    blocking trade, accounted for, never a silent wrong pair."""
+    from t20_database_etl_pipeline_assignment_spark.operators.llm import (
+        _SEMANTIC_TAU,
+        _ivf_build,
+        _pairwise_cosine_grouped,
+    )
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+
+    out = QUERIES["dedup_semantic_cluster"](spark, sf_dir).collect()
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+
+    # (1) every clone dropped, canonical no higher than its base
+    drops = {r.drop_id: r for r in out}
+    for v in range(n):
+        assert v + 1000000 in drops, f"clone of {v} not dropped"
+        assert drops[v + 1000000].canonical_id <= v
+        assert drops[v + 1000000].sim >= _SEMANTIC_TAU
+
+    # (2) exact greedy-election equality vs the global brute-force truth
+    cloned = e.unionByName(
+        e.withColumn("vec_id", F.col("vec_id") + F.lit(1000000))
+    ).withColumn("label", F.lit(0))
+    truth = {
+        (r.id1, r.id2)
+        for r in _pairwise_cosine_grouped(cloned, tau=_SEMANTIC_TAU).collect()
+    }
+    _, assignment = _ivf_build(spark, sf_dir, e)
+    cell = {r.vec_id: r.cell for r in assignment.collect()}
+    within = {
+        (a, b) for a, b in truth if cell[a % 1000000] == cell[b % 1000000]
+    }
+    best: dict[int, int] = {}
+    for a, b in within:
+        best[b] = min(best.get(b, a), a)
+    assert {(r.canonical_id, r.drop_id) for r in out} == {
+        (a, b) for b, a in best.items()
+    }
+
+    # (3) misses are exactly the cross-cell pairs (may be empty)
+    for a, b in truth - within:
+        assert cell[a % 1000000] != cell[b % 1000000]
