@@ -1134,3 +1134,35 @@ def test_semantic_cluster_dedup_model(spark, sf_dir):
     # (3) misses are exactly the cross-cell pairs (may be empty)
     for a, b in truth - within:
         assert cell[a % 1000000] != cell[b % 1000000]
+
+
+def test_ann_ivf_pq_tracks_float_path(spark, sf_dir):
+    """The m=16/ks=64 product-quantization tier must remain a usable
+    compression of the float IVF path (the ADC test's shape, wider error
+    band for the ~5x-smaller-than-SQ8 codes): (a) recall@5 vs the EXACT
+    top-5 stays >= 0.4 (measured 0.58 at sf0.01); (b) candidate agreement
+    with float IVF >= 0.45 (measured 0.60 — identical cells probed, only
+    in-cell ranking is perturbed by quantization); (c) on shared pairs
+    the reconstructed score is within 0.2 of the float score (measured
+    max 0.12, mean 0.034; SQ8's bound is 0.01 — the wider band is the
+    price of 64 codes per 4-dim subspace vs 64 int8s). Bars carry margin
+    below the measured point because the driver regenerates the fixture
+    between rounds."""
+    pq = {
+        (r.query_id, r.neighbor_id): r.sim_pq
+        for r in QUERIES["sim_ann_ivf_pq"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in QUERIES["sim_ann_ivf"](spark, sf_dir).collect()
+    }
+    recall = len(pq.keys() & exact.keys()) / len(exact)
+    assert recall >= 0.4, f"PQ recall@5 dropped to {recall:.3f}"
+    agree = len(pq.keys() & ivf.keys()) / len(ivf)
+    assert agree >= 0.45, f"PQ/float-IVF candidate agreement {agree:.3f}"
+    for k in pq.keys() & ivf.keys():
+        assert abs(pq[k] - ivf[k]) <= 0.2, (k, pq[k], ivf[k])

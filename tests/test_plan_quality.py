@@ -163,6 +163,8 @@ _BNLJ_ALLOWED = {
     "sim_cosine_topk",       # tiny query-set broadcast, no equi key
     "sim_ann_ivf",           # 1-row centroid-count broadcast
     "sim_ann_ivf_adc",       # 16-row centroid broadcast (probe ranking)
+    "sim_ann_ivf_pq",        # 1-row broadcast codebook map (~32 KB) + the
+    #                          16-row centroid broadcast (probe ranking)
     "emb_kmeans_inertia",    # 1-row broadcast centroid-array (k centroids
     #                          collapse to one row; assignment stays narrow)
     "sim_ann_ivf_recall_curve",  # exact-truth query-set broadcast (as
