@@ -53,6 +53,7 @@ def main() -> None:
         "dedup_cascade",                # shingles3_norm + normalized band index
         "sim_ann_ivf",                  # ivf_centroids + ivf_assign
         "sim_ann_ivf_adc",              # ivf_adc_codes (int8 inverted file)
+        "sim_ann_ivf_pq",               # ivf_pq_codebook + ivf_pq_codes
         "cluster_connected_components", # jaccard_graph
         "text_fingerprint",             # simhash_fp
         "join_bucketed_colocated",      # bucketed warehouse build

@@ -43,7 +43,11 @@ SHOWCASE = [
         "so the probe plan is just the band-bucket self-join over the staged "
         "parquet plus exact-Jaccard verification of the candidate set — "
         "linear in corpus + collisions, never all-pairs, and no min-hash "
-        "aggregation at query time.",
+        "aggregation at query time. Since round 9 the verification rides "
+        "per-doc shingle LISTS (one collect_list per doc, array_intersect "
+        "per candidate, the two list joins sharing a ReusedExchange) — no "
+        "pair-keyed aggregation exists in the plan at all, which is what "
+        "removed the last sf10 spill (1.9 GB -> 0).",
     ),
     (
         "interval_peak_concurrency",
@@ -127,6 +131,16 @@ SHOWCASE = [
         "probes, centroids, and queries all arrive as BroadcastHashJoin on "
         "the cell/query key, reconstruction is a narrow zip_with, and the "
         "only keyed Exchange is the final per-query candidate window.",
+    ),
+    (
+        "sim_ann_ivf_pq",
+        "IVF-PQ search: the probe-time corpus scan is the persisted "
+        "m=16-code table (ivf_pq_codes — ~5x smaller than the SQ8 codes, "
+        "~21x than the float corpus; no embedding column downstream), the "
+        "whole codebook arrives as ONE ~32 KB broadcast row, "
+        "reconstruction is a 64-term codegen'd Project over map lookups, "
+        "and the join/window shape is identical to the float and SQ8 "
+        "rungs — swapping compression tiers never changes the plan.",
     ),
 ]
 
