@@ -134,7 +134,7 @@ def test_contract_artifacts_carry_current_fingerprints():
 
     qs, oracles = ep.queries(), ep.oracle_sql()
     fps = {q: query_fingerprint(q, qs[q], oracles.get(q, "")) for q in qs}
-    for name in ("CONTRACT_r08.json", "CONTRACT_sf1.json"):
+    for name in ("CONTRACT_r09.json", "CONTRACT_sf1.json"):
         path = os.path.join(REPO, name)
         if not os.path.exists(path):
             continue
