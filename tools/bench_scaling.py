@@ -194,6 +194,12 @@ SF10_SPOT = SF10_HEADLINE + [
     # round-8: the int8-residual ADC tier — prove the quantized inverted
     # file reconstructs the same ranked answers at 100x corpus size
     "sim_ann_ivf_adc",
+    # round-9: the PQ compression rung and the IVF-blocked semantic dedup —
+    # both compose on the same shared-index CTEs already spotted above; the
+    # semantic tier's within-cell quadratic is O(N^1.5) by the sqrt(N)-cells
+    # design, ~4.5e7 pairs at the 200k-vector big fixture
+    "sim_ann_ivf_pq",
+    "dedup_semantic_cluster",
 ]
 
 FLAG_SLACK = 1.2   # ratio > factor * slack => super-linear, flag it

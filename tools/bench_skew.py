@@ -257,6 +257,11 @@ def main() -> None:
     args = ap.parse_args()
 
     skew = run(args.passes, args.src, args.dst, args.hot_every, args.spot)
+    # same host stamp as the sf1/sf10 tiers (bench_scaling.host_fingerprint):
+    # all three tiers in one artifact must name the host shape that produced
+    # them or cross-round ratio drift is unattributable
+    from bench_scaling import host_fingerprint
+    skew["host"] = host_fingerprint()
 
     path = os.path.join(REPO, "BENCH_SCALING.json")
     with open(path) as f:

@@ -142,6 +142,16 @@ SHOWCASE = [
         "and the join/window shape is identical to the float and SQ8 "
         "rungs — swapping compression tiers never changes the plan.",
     ),
+    (
+        "dedup_semantic_cluster",
+        "SemDeDup over the learned IVF blocking: the corpus joins the "
+        "persisted coarse-quantizer assignment (ivf index scan, no k-means "
+        "recompute at probe time), the ONLY corpus-sized Exchange is the "
+        "hash partition on cell that within-cell pairing inherently needs "
+        "(the Arrow block-pair kernel runs inside it, capped at "
+        "block_size^2 sims per task), and the greedy canonical election is "
+        "a per-drop_id window over the tiny above-threshold pair set.",
+    ),
 ]
 
 
