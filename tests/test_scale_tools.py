@@ -143,3 +143,31 @@ def test_contract_artifacts_carry_current_fingerprints():
         stale = [q for q, r in d["queries"].items()
                  if r.get("status") == "ok" and q in fps and r.get("fp") != fps[q]]
         assert not stale, f"{name}: stale green records for {stale[:5]}..."
+
+
+def test_bench_tool_query_lists_resolve_in_registry():
+    """Every name in the scaling/bench tools' query lists must be a
+    registered query id: a typo in SF10_SPOT otherwise surfaces only as a
+    drive_contract failure at the END of a multi-hour sf10 run."""
+    import __spark_entry__ as ep
+    from bench_scaling import HEADLINE, SF10_HEADLINE, SF10_SPOT, SPOT_QUERIES, WARM
+
+    registered = set(ep.queries())
+    for label, names in (
+        ("HEADLINE", HEADLINE),
+        ("SF10_HEADLINE", SF10_HEADLINE),
+        ("SF10_SPOT", SF10_SPOT),
+        ("SPOT_QUERIES", SPOT_QUERIES),
+        ("WARM", WARM),
+    ):
+        missing = sorted(set(names) - registered)
+        assert not missing, f"bench_scaling.{label} names not in registry: {missing}"
+
+
+def test_plan_report_showcase_resolves_in_registry():
+    import __spark_entry__ as ep
+    from plan_report import SHOWCASE
+
+    registered = set(ep.queries())
+    missing = sorted({q for q, _ in SHOWCASE} - registered)
+    assert not missing, f"plan_report.SHOWCASE names not in registry: {missing}"
