@@ -2347,10 +2347,15 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def argmin_codes(rs: DataFrame, book: DataFrame) -> DataFrame:
         # exact-integer squared L2 per (vec, subspace, code), then a
-        # lexicographic struct-min = dist-asc/code-asc argmin; both
-        # groupBys share the vec_id-prefixed hash partitioning
+        # lexicographic struct-min = dist-asc/code-asc argmin. ONE explicit
+        # exchange on (vec_id, j) up front: hash partitioning on a SUBSET
+        # of the grouping keys satisfies the (vec_id, j, code) clustering
+        # too, so BOTH aggregates below run exchange-free — and the
+        # explicit exchange moves the N*m residual rows, not the N*m*ks
+        # post-join distance rows a groupBy-demanded shuffle would carry
         dist = (
-            rs.join(F.broadcast(book), ["j", "d"])
+            rs.repartition("vec_id", "j")
+            .join(F.broadcast(book), ["j", "d"])
             .withColumn("dd", (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv")))
             .groupBy("vec_id", "j", "code")
             .agg(F.sum("dd").alias("dist"))
@@ -2415,8 +2420,9 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _index_cache_dir(sf_dir, f"ivf_pq_codes_{_PQ_M}x{_PQ_KS}"), build_codes
     )
 
-    # the whole codebook as ONE broadcast row: map (j*100+code) -> 8-dim
-    # dequantized sub-vector, ~8 KB — the PQ analogue of the kmeans
+    # the whole codebook as ONE broadcast row: map (j*100+code) -> 4-dim
+    # dequantized sub-vector (_PQ_DIM/_PQ_M dims per entry; 16*64 entries
+    # of 4 doubles ~= 32 KB) — the PQ analogue of the kmeans
     # single-broadcast-row centroid idiom
     cbm_row = (
         codebook.groupBy("j", "code")
@@ -2521,13 +2527,20 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim 1.0 (tests/test_llm_ops.py pins this plus the cross-cell-miss
     accounting vs the global brute-force pair set).
 
-    Scale: the within-cell quadratic is the SemDeDup design point — cell
-    count grows ~sqrt(N) with the corpus so cell populations stay bounded,
-    and the Arrow-batched block-pair kernel (_pairwise_cosine_grouped)
-    caps any one task at block_size^2 sims regardless of how hot a cell
-    gets. Nothing corpus-sized crosses the wire except the one hash
-    exchange on cell that the pairing inherently needs; the election is a
-    per-drop_id argmin window on the (tiny) above-threshold pair set."""
+    Scale: the within-cell quadratic is the SemDeDup design point, and
+    what bounds it at corpus scale is growing the cell count ~sqrt(N) so
+    cell populations stay flat. NOTE the fixture index does NOT implement
+    that growth — _IVF_CELLS is pinned at 16 so the oracle replays the
+    identical index exactly — which makes this face O(N^2/16) on the
+    synthetic fixtures (it is deliberately excluded from the sf10 tier
+    for that reason, same class as dedup_ngram_jaccard); at production
+    scale the coarse quantizer would be trained with k ~ sqrt(N) and the
+    SAME plan below holds unchanged. The Arrow-batched block-pair kernel
+    (_pairwise_cosine_grouped) caps any one task at block_size^2 sims
+    regardless of how hot a cell gets. Nothing corpus-sized crosses the
+    wire except the one hash exchange on cell that the pairing inherently
+    needs; the election is a per-drop_id argmin window on the (tiny)
+    above-threshold pair set."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     _, assignment = _ivf_build(spark, sf_dir, e)
     vecs = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + F.lit(1000000)))

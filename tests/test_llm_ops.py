@@ -1131,9 +1131,15 @@ def test_semantic_cluster_dedup_model(spark, sf_dir):
         (a, b) for b, a in best.items()
     }
 
-    # (3) misses are exactly the cross-cell pairs (may be empty)
-    for a, b in truth - within:
-        assert cell[a % 1000000] != cell[b % 1000000]
+    # (3) miss accounting against the OUTPUT, not against the `within`
+    # construction (asserting over `truth - within` would re-assert the
+    # definition of `within` and could never fail): any true pair whose
+    # drop-side id was never emitted as dropped must be cross-cell — if
+    # the kernel ever silently missed a within-cell true pair, its
+    # drop-side would appear here with an equal cell and this fails
+    for a, b in truth:
+        if b not in drops:
+            assert cell[a % 1000000] != cell[b % 1000000], (a, b)
 
 
 def test_ann_ivf_pq_tracks_float_path(spark, sf_dir):

@@ -194,12 +194,16 @@ SF10_SPOT = SF10_HEADLINE + [
     # round-8: the int8-residual ADC tier — prove the quantized inverted
     # file reconstructs the same ranked answers at 100x corpus size
     "sim_ann_ivf_adc",
-    # round-9: the PQ compression rung and the IVF-blocked semantic dedup —
-    # both compose on the same shared-index CTEs already spotted above; the
-    # semantic tier's within-cell quadratic is O(N^1.5) by the sqrt(N)-cells
-    # design, ~4.5e7 pairs at the 200k-vector big fixture
+    # round-9: the PQ compression rung — identical broadcast-probe join
+    # shape to the float/SQ8 rungs already spotted above.
+    # dedup_semantic_cluster is DELIBERATELY excluded, same class as
+    # dedup_ngram_jaccard / sim_cosine_topk: the fixture index pins
+    # _IVF_CELLS=16 (so its oracle stays exactly replayable), which makes
+    # the within-cell pairing O(N^2/16) — ~5e9 cosine pairs at the
+    # 200k-vector+clone big fixture, on BOTH engines. The production
+    # design point (cells ~ sqrt(N)) is what bounds it at corpus scale;
+    # the fixed-k toy index does not implement that growth.
     "sim_ann_ivf_pq",
-    "dedup_semantic_cluster",
 ]
 
 FLAG_SLACK = 1.2   # ratio > factor * slack => super-linear, flag it
