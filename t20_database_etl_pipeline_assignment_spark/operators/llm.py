@@ -2314,10 +2314,21 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, and the oracle replays the identical codebook build.
 
     Search: the same broadcast-probe + cell-key join as the float and
-    SQ8 tiers; reconstruction xhat[p] = centroid[p] + codebook[j][code]/s
-    is a 64-term codegen'd array over the ONE broadcast codebook row
-    (16×64 4-dim sub-vectors ≈ 32 KB) — no extra shuffle versus the float
-    path. Measured operating point at sf0.01 (tests/test_llm_ops.py):
+    SQ8 tiers; reconstruction xhat = concat of 16 per-subspace
+    (centroid-slice + codebook-subvector) zip_with adds over the ONE
+    broadcast codebook row (16×64 4-dim sub-vectors ≈ 32 KB) — no extra
+    shuffle versus the float path. Two measured per-row costs shape the
+    expression (6.3 s → 1.6 s at sf0.1, bit-identical output): map
+    element_at is a LINEAR scan of the 1024-entry broadcast map, so the
+    reconstruction does 16 lookups (one per subspace) rather than 64
+    (one per dim), and higher-order functions are CodegenFallback
+    (interpreted), so the cosine is ONE fused fold with a (dot, norm)
+    struct accumulator — the shared cosine() helper references its
+    argument three times, which re-evaluates the whole reconstruction
+    tree per reference. The fold still accumulates the same terms in the
+    same ascending-dim order, so the result is bit-identical to
+    cosine()/list_cosine_similarity and the oracle is unchanged.
+    Measured operating point at sf0.01 (tests/test_llm_ops.py):
     recall@5 0.58 vs exact, candidate agreement 0.60 vs float IVF, score
     error max 0.12 / mean 0.034 — the honest price of the coarse lattice;
     use SQ8 when the 0.01 error band matters and PQ when memory does."""
@@ -2451,22 +2462,44 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_emb = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    xhat = F.array(
-        *[
-            F.element_at(cd, p + 1)
-            + F.element_at(
-                F.element_at(
-                    F.col("cbm"),
-                    (
-                        F.lit(p // sub * 100)
-                        + F.element_at(F.col("codes"), p // sub + 1)
-                    ).cast("int"),
-                ),
-                p % sub + 1,
-            )
-            for p in range(_PQ_DIM)
-        ]
+    # one map lookup per SUBSPACE (16), not per dim (64): element_at on a
+    # broadcast map is a linear scan of all 1024 entries, so lookup count
+    # is the dominant per-row cost of the interpreted reconstruction
+    xhat = F.flatten(
+        F.array(
+            *[
+                F.zip_with(
+                    F.slice(cd, j * sub + 1, sub),
+                    F.element_at(
+                        F.col("cbm"),
+                        (F.lit(j * 100) + F.element_at(F.col("codes"), j + 1)).cast(
+                            "int"
+                        ),
+                    ),
+                    lambda c, b: c + b,
+                )
+                for j in range(_PQ_M)
+            ]
+        )
     )
+    # fused single-fold cosine: HOFs are CodegenFallback, and the shared
+    # cosine() helper would re-evaluate the xhat tree once per reference
+    # (dot + both norm legs). One zip_with + one struct-accumulator fold
+    # touches xhat exactly once per row; the dot and |xhat|² partial sums
+    # accumulate the same terms in the same ascending-dim order as
+    # cosine()/list_cosine_similarity, so the value is bit-identical and
+    # the oracle needs no change.
+    ad = F.col("q_emb").cast("array<double>")
+    zipped = F.zip_with(
+        ad, xhat, lambda x, y: F.struct((x * y).alias("xy"), (y * y).alias("yy"))
+    )
+    acc = F.aggregate(
+        zipped,
+        F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("n")),
+        lambda s, v: F.struct((s["d"] + v["xy"]).alias("d"), (s["n"] + v["yy"]).alias("n")),
+    )
+    na = F.aggregate(F.zip_with(ad, ad, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    sim_pq = acc["d"] / (F.sqrt(na) * F.sqrt(acc["n"]))
     cand = (
         codes.join(F.broadcast(probes), "cell")
         .join(F.broadcast(centroids), "cell")
@@ -2476,7 +2509,7 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_emb"), xhat), 6).alias("sim_pq"),
+            F.round(sim_pq, 6).alias("sim_pq"),
         )
     )
     # each neighbor lives in exactly one cell -> no distinct needed

@@ -138,9 +138,12 @@ SHOWCASE = [
         "m=16-code table (ivf_pq_codes — ~5x smaller than the SQ8 codes, "
         "~21x than the float corpus; no embedding column downstream), the "
         "whole codebook arrives as ONE ~32 KB broadcast row, "
-        "reconstruction is a 64-term codegen'd Project over map lookups, "
-        "and the join/window shape is identical to the float and SQ8 "
-        "rungs — swapping compression tiers never changes the plan.",
+        "reconstruction is 16 per-subspace map lookups + zip_with adds "
+        "scored by one fused-fold cosine (HOFs are interpreted; one "
+        "lookup per subspace and one xhat evaluation per row is the "
+        "measured 4x probe win), and the join/window shape is identical "
+        "to the float and SQ8 rungs — swapping compression tiers never "
+        "changes the plan.",
     ),
     (
         "dedup_semantic_cluster",
