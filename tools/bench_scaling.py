@@ -198,7 +198,9 @@ SF10_SPOT = SF10_HEADLINE + [
     # assumed: the oracle replays the full deterministic codebook build in
     # SQL, and at the 200k-vector fixture that replay exhausted DuckDB's
     # temp volume (>74 GB spill, 'No space left on device' after ~30 min;
-    # the Spark side itself is fine in the timed tier). The quantized
+    # the Spark-side evidence at sf10 is the UNTIMED warm build of the PQ
+    # artifacts in WARM below, which completes on the big fixture — PQ is
+    # not in SF10_HEADLINE, so no timed sf10 entry exists). The quantized
     # inverted-file class is still proven at 100x by sim_ann_ivf_adc
     # above — the PQ rung shares its exact join/window plan and differs
     # only in the persisted code table, and stays 4-SF oracle-proven
