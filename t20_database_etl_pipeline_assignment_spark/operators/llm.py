@@ -2222,10 +2222,12 @@ _PQ_DIM = 64       # fixture embedding dim (same static contract as _hyperplanes
 _PQ_SCALE = 1000000.0  # residual coords as scaled BIGINTs: exact L2 everywhere
 
 
-@query(
-    "sim_ann_ivf_pq",
-    oracle=_SQL_IVF_CTES
-    + f""",
+# the PQ candidate pipeline (exact-integer residuals -> per-subspace
+# codebook build -> reconstruction -> probe scoring), ending at `cand`
+# (query_id, neighbor_id, sim_pq) — ONE definition shared by the
+# sim_ann_ivf_pq face and its refine tier, for the same no-drift reason
+# _SQL_IVF_CTES is shared by the IVF tiers
+_SQL_PQ_CTES = _SQL_IVF_CTES + f""",
 ri AS (
   SELECT e.vec_id, a1.cell,
          list_transform(range(1, len(e.emb) + 1),
@@ -2287,7 +2289,13 @@ cand AS (
   JOIN probes p ON c.cell = p.cell
   JOIN recon rc ON c.vec_id = rc.vec_id
   JOIN q ON p.query_id = q.query_id
-  WHERE c.vec_id <> p.query_id)
+  WHERE c.vec_id <> p.query_id)"""
+
+
+@query(
+    "sim_ann_ivf_pq",
+    oracle=_SQL_PQ_CTES
+    + """
 SELECT query_id, neighbor_id, sim_pq
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY sim_pq DESC, neighbor_id ASC) AS rn
@@ -2331,7 +2339,22 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured operating point at sf0.01 (tests/test_llm_ops.py):
     recall@5 0.58 vs exact, candidate agreement 0.60 vs float IVF, score
     error max 0.12 / mean 0.034 — the honest price of the coarse lattice;
-    use SQ8 when the 0.01 error band matters and PQ when memory does."""
+    use SQ8 when the 0.01 error band matters and PQ when memory does;
+    sim_ann_ivf_pq_refine below buys most of the recall back for the cost
+    of c full-precision fetches per query."""
+    cand = _pq_candidates(spark, sf_dir)
+    # each neighbor lives in exactly one cell -> no distinct needed
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_pq"), F.asc("neighbor_id"))
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+def _pq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-scored PQ candidates (query_id, neighbor_id, sim_pq), shared
+    by sim_ann_ivf_pq and sim_ann_ivf_pq_refine: builds/loads the persisted
+    codebook + codes artifacts and scores every probed-cell candidate by
+    reconstructed cosine. The design rationale and the two measured
+    expression-layer choices are documented in sim_ann_ivf_pq's docstring;
+    the oracle twin is _SQL_PQ_CTES."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids, assignment = _ivf_build(spark, sf_dir, e)
     ed = F.col("embedding").cast("array<double>")
@@ -2517,9 +2540,90 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim_pq, 6).alias("sim_pq"),
         )
     )
-    # each neighbor lives in exactly one cell -> no distinct needed
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim_pq"), F.asc("neighbor_id"))
-    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+    return cand
+
+
+_PQ_REFINE_C = 32  # full-precision fetches per query in the refine tier
+
+
+@query(
+    "sim_ann_ivf_pq_refine",
+    oracle=_SQL_PQ_CTES
+    + f""",
+topc AS (
+  SELECT query_id, neighbor_id, sim_pq
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim_pq DESC, neighbor_id ASC) AS rn
+        FROM cand)
+  WHERE rn <= {_PQ_REFINE_C}),
+rer AS (
+  SELECT t.query_id, t.neighbor_id, t.sim_pq,
+         round(list_cosine_similarity(q.q_emb, e.emb), 6) AS sim_exact
+  FROM topc t
+  JOIN e ON t.neighbor_id = e.vec_id
+  JOIN q ON t.query_id = q.query_id)
+SELECT query_id, neighbor_id, sim_pq, sim_exact
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim_exact DESC, neighbor_id ASC) AS rn
+      FROM rer)
+WHERE rn <= 5
+""",
+)
+def sim_ann_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-rank — the standard production completion of
+    the FAISS rung ladder (FAISS's IndexRefineFlat over IVFPQ): the
+    12-byte PQ codes pick the top-c (c = _PQ_REFINE_C = 32) candidates
+    per query cheaply, then ONLY those candidates' full-precision vectors are
+    fetched and re-scored by exact cosine, and the final top-5 ranks by
+    the exact score. This buys back most of the recall the coarse PQ
+    lattice loses (sim_ann_ivf_pq's honest recall@5 is 0.58; the refine
+    tier's recall is bounded only by the IVF probe set and the
+    candidate budget c — measured in tests/test_llm_ops.py) while the
+    probe scan still reads the ~21x-smaller codes table.
+
+    At 100 TB: the refine fetch is |Q| x c point lookups against the
+    float corpus — expressed here as one broadcast hash join of the
+    c*|Q|-row candidate list against the corpus scanned once (Spark's
+    scale-correct shape for batch queries; a serving system would use a
+    keyed store). No new shuffle: candidates reuse the PQ probe plan,
+    the re-rank is broadcast-join + window over c*|Q| rows.
+
+    Both scores ride the output (sim_pq for audit, sim_exact for rank),
+    bit-parity arguments unchanged from the parent faces: sim_pq is the
+    fused-fold reconstruction score, sim_exact the shared cosine()
+    helper vs DuckDB's list_cosine_similarity."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cand = _pq_candidates(spark, sf_dir)
+    wpq = Window.partitionBy("query_id").orderBy(F.desc("sim_pq"), F.asc("neighbor_id"))
+    topc = (
+        cand.withColumn("rn", F.row_number().over(wpq))
+        .filter(F.col("rn") <= _PQ_REFINE_C)
+        .drop("rn")
+    )
+    q_emb = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # corpus streams ONCE against the broadcast c*|Q|-row candidate list;
+    # only candidate rows survive to the exact-cosine expression
+    rer = (
+        e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(topc), "neighbor_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim_pq",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("sim_exact"),
+        )
+    )
+    wex = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_exact"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(wex))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
 
 
 _SEMANTIC_TAU = 0.99

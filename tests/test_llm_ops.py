@@ -1172,3 +1172,34 @@ def test_ann_ivf_pq_tracks_float_path(spark, sf_dir):
     assert agree >= 0.45, f"PQ/float-IVF candidate agreement {agree:.3f}"
     for k in pq.keys() & ivf.keys():
         assert abs(pq[k] - ivf[k]) <= 0.2, (k, pq[k], ivf[k])
+
+
+def test_ann_ivf_pq_refine_recovers_float_ivf(spark, sf_dir):
+    """The exact re-rank tier must buy back the recall the coarse PQ
+    lattice loses: with c=32 full-precision fetches per query the refine
+    answer set is measured IDENTICAL to float IVF's (agreement 1.0 at
+    sf0.001 and sf0.01 — every float-IVF top-5 member survives in the PQ
+    top-32), so recall@5 vs exact equals float IVF's own 0.90-0.94,
+    against PQ-alone's 0.56-0.58. Pinned with margin (>= 0.8 recall,
+    >= 0.95 agreement) because the driver regenerates fixtures between
+    rounds. Re-ranked scores must be bit-identical to the exact
+    computation for the same pair (shared cosine() fold), and each
+    query's rows must rank by sim_exact."""
+    ref_rows = QUERIES["sim_ann_ivf_pq_refine"](spark, sf_dir).collect()
+    ref = {(r.query_id, r.neighbor_id): r.sim_exact for r in ref_rows}
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in QUERIES["sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in QUERIES["sim_ann_ivf"](spark, sf_dir).collect()
+    }
+    recall = len(ref.keys() & exact.keys()) / len(exact)
+    assert recall >= 0.8, f"refine recall@5 dropped to {recall:.3f}"
+    agree = len(ref.keys() & ivf.keys()) / len(ivf)
+    assert agree >= 0.95, f"refine/float-IVF answer agreement {agree:.3f}"
+    for k in ref.keys() & exact.keys():
+        assert ref[k] == exact[k], (k, ref[k], exact[k])
+    for k in ref.keys() & ivf.keys():
+        assert ref[k] == ivf[k], (k, ref[k], ivf[k])

