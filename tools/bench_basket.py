@@ -127,6 +127,59 @@ def _variant_df(spark, sf_dir: str, variant: str):
             .agg(F.count(F.lit(1)).alias("c_ab"))
             .filter(F.col("c_ab") >= 2)
         )
+    elif variant == "basket_packed":
+        # the shipped plan with ONE packed BIGINT pair key through the big
+        # exchange + complete aggregate: pk1 << 32 | pk2 (partkeys < 2^31)
+        # instead of a two-long UnsafeRow — probes whether halving the
+        # grouping-key width materially cuts the aggregate's hash state
+        # (43.8 GB peak at sf10) and the 2 GB pair shuffle
+        baskets = (
+            li.groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+            .repartition("l_orderkey")
+        )
+        n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+        freq = (
+            baskets.select(F.explode("ps").alias("l_partkey"))
+            .groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        frequent = freq.filter(F.col("c") >= 2).select("l_partkey")
+        pair_arr = F.flatten(
+            F.transform(
+                "ps",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                    lambda y: x.cast("long") * F.lit(4294967296).cast("long")
+                    + y.cast("long"),
+                ),
+            )
+        )
+        packed = (
+            baskets.select(F.explode(pair_arr).alias("k"))
+            .join(
+                F.broadcast(frequent.withColumnRenamed("l_partkey", "pk1")),
+                F.shiftright("k", 32) == F.col("pk1"),
+                "left_semi",
+            )
+            .join(
+                F.broadcast(frequent.withColumnRenamed("l_partkey", "pk2")),
+                F.col("k").bitwiseAND(F.lit(4294967295).cast("long"))
+                == F.col("pk2"),
+                "left_semi",
+            )
+            .repartition(
+                2 * int(spark.conf.get("spark.sql.shuffle.partitions")), "k"
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c_ab"))
+            .filter(F.col("c_ab") >= 2)
+        )
+        pairs = packed.select(
+            F.shiftright("k", 32).alias("pk1"),
+            F.col("k").bitwiseAND(F.lit(4294967295).cast("long")).alias("pk2"),
+            "c_ab",
+        )
     else:
         raise SystemExit(f"unknown variant {variant!r}")
 
@@ -238,6 +291,17 @@ def main() -> int:
         sf10 = args[args.index("--sf10") + 1]
     if "--sf1" in args:
         sf1 = args[args.index("--sf1") + 1]
+    if "--variants" in args:
+        # targeted A/B: run only the named variants at sf10 (8g/64, the
+        # bench_scaling operating point) and print records — does NOT
+        # rewrite BENCH_BASKET.json (the full suite owns that artifact)
+        names = args[args.index("--variants") + 1].split(",")
+        recs = [_run(v, "8g", "64", sf10) for v in names]
+        for r in recs:
+            print(json.dumps(r), flush=True)
+        counts = {r.get("rows") for r in recs if "rows" in r}
+        print(f"row_counts_agree: {len(counts) == 1}")
+        return 0
 
     out: dict = {"sf10_dir": sf10, "sf1_dir": sf1}
     # formulation A/B at sf10, the bench_scaling operating point (the
