@@ -247,10 +247,15 @@ def _worker(variant: str, heap: str, parts: str, sf_dir: str) -> None:
             {
                 "shuffle_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6),
                 "spill_disk_mb": round(s.get("diskBytesSpilled", 0) / 1e6),
+                "peak_execution_memory_mb": round(
+                    s.get("peakExecutionMemory", 0) / 1e6
+                ),
+                "name": s.get("name", "")[:60],
             }
             for s in sorted(stages, key=lambda x: x["stageId"])
             if s.get("diskBytesSpilled", 0) > 1e6
             or s.get("shuffleWriteBytes", 0) > 5e7
+            or s.get("peakExecutionMemory", 0) > 1e9
         ],
     }
     print("WORKER_JSON:" + json.dumps(rec), flush=True)
@@ -308,7 +313,8 @@ def main() -> int:
     # session policy's 8g heap, volume-scaled 64 partitions) plus the
     # shipped plan at 128 to record the partition lever
     runs = []
-    for variant in ("selfjoin_semi", "basket_partial", "basket_complete"):
+    for variant in ("selfjoin_semi", "basket_partial", "basket_complete",
+                    "basket_packed"):
         runs.append(_run(variant, "8g", "64", sf10))
         print(json.dumps(runs[-1]), flush=True)
     runs.append(_run("basket_complete", "8g", "128", sf10))
