@@ -146,6 +146,17 @@ SHOWCASE = [
         "changes the plan.",
     ),
     (
+        "sim_ann_ivf_pq_refine",
+        "PQ probe + exact re-rank (FAISS IndexRefineFlat shape): the "
+        "candidate stage is the identical PQ probe plan (shared "
+        "_pq_candidates — codes-table scan, broadcast codebook), then the "
+        "c*|Q|-row top-c candidate list arrives as the BUILD side of a "
+        "BroadcastHashJoin on neighbor_id against the float corpus "
+        "scanned once — a point-lookup fetch, no SortMergeJoin, no new "
+        "corpus Exchange; the only added shuffles are the two tiny "
+        "per-query windows (top-c, final top-5).",
+    ),
+    (
         "dedup_semantic_cluster",
         "SemDeDup over the learned IVF blocking: the corpus joins the "
         "persisted coarse-quantizer assignment (ivf index scan, no k-means "
