@@ -1131,12 +1131,15 @@ def win_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic Sᵢ = max(0, Sᵢ₋₁ + xᵢ − μ − k), alarmed when S > h.
     The recursion LOOKS sequential, but the classic identity
     S = P − running-min(P) over the prefix sums P of (x − μ − k) turns it
-    into two stock window passes — no iterative loop, no UDF with state —
-    which is what makes change-point detection feasible over a 100 TB log:
-    both windows shuffle once on event_type and spill gracefully. μ is the
-    per-type integer floor-mean (exact in both engines); all accumulation
-    is integer cents, so the max-reset boundary can't flip from float
-    drift after a billion rows."""
+    into window passes — no iterative loop, no UDF with state — and the
+    kernel further decomposes the scan into per-(type, day) segments with
+    a tiny carry relation (cusum_stat), so parallelism scales with the
+    log's time span instead of capping at the handful of event types: the
+    pre-segmented plan ran its big window 5-wide forever at 100× rows
+    (BENCH_SCALING sf10 r9: ratio 11.75×). μ is the per-type integer
+    floor-mean (exact in both engines); all accumulation is integer cents,
+    so the max-reset boundary can't flip from float drift after a billion
+    rows."""
     e = table(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
@@ -1157,37 +1160,97 @@ def cusum_stat(
     targets: DataFrame,
     k_c: int = _CUSUM_K_C,
     h_c: int = _CUSUM_H_C,
+    bucket_us: int = 86_400_000_000,
 ) -> DataFrame:
     """The CUSUM kernel on (event_type, event_id, us, v_c) against a tiny
     (event_type, mean_c) calibration relation — separated from the fixture
     scan so property-based tests can model-check the window identity
     against the sequential recursion on generated series
     (tests/test_analytics_ops.py), and so the streaming face
-    (streaming/windows.py stateful_cusum) shares its parameters."""
-    run = Window.partitionBy("event_type").orderBy("us", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    p = e.join(F.broadcast(targets), "event_type").select(
+    (streaming/windows.py stateful_cusum) shares its parameters.
+
+    Segmented-scan formulation: a window PARTITION BY event_type caps
+    parallelism at the number of types (5 in the fixture — and at 100 TB a
+    single task would own a type's entire history), so the prefix scan is
+    decomposed over (event_type, day-of-us) segments, the textbook
+    parallel-prefix shape:
+
+      per segment (parallel, one shuffle on the 2-part key):
+        lp  = local prefix sum of d = v_c − μ − k, lmin = running min(lp)
+      per-segment carry (|types| × |days| rows, tiny):
+        c_in = exclusive prefix sum of segment totals
+        m_in = least(0, min over prior segments of (c_in + segment min))
+      recombine (broadcast the carry back):
+        P_i  = c_in + lp_i,   runmin_i = least(m_in, c_in + lmin_i)
+        S_i  = P_i − runmin_i          (m_in carries the virtual P₀ = 0)
+
+    Everything is integer cents, so the segmented recombination is
+    bit-identical to the flat scan (hypothesis model-checks both the
+    single-segment and forced-multi-segment paths)."""
+    base = e.join(F.broadcast(targets), "event_type").select(
         "event_type",
         "event_id",
         "us",
-        F.sum(
-            F.col("v_c") - F.col("mean_c") - F.lit(k_c)
-        ).over(run).alias("pref"),
+        # coalesce makes bkt NON-NULLABLE, which matters twice: (a) a null
+        # ts lands in bucket −1 (sorts before every real bucket, exactly
+        # where NULLS FIRST put it in the flat scan), and (b) no
+        # isnotnull(bkt) filter gets inferred into just ONE branch's scan,
+        # so the two lineages below stay plan-identical up to the big
+        # exchange and ReuseExchange shares the shuffle instead of
+        # re-scanning and re-shuffling the log for the carry side
+        F.coalesce(
+            F.col("us") - F.col("us") % F.lit(bucket_us), F.lit(-1)
+        ).alias("bkt"),
+        (F.col("v_c") - F.col("mean_c") - F.lit(k_c)).alias("d"),
     )
-    s = p.select(
+    seg = Window.partitionBy("event_type", "bkt").orderBy(
+        "us", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    loc = base.select(
         "event_type",
         "event_id",
         "us",
-        # the running min must include the virtual empty prefix P₀ = 0:
-        # S_i = P_i − min(0, min_{j≤i} P_j). Without the 0 floor a series
-        # that starts above target reports S=0 where the recursion says
-        # S=P_1 (caught by the hypothesis model check).
-        (F.col("pref") - F.least(F.min("pref").over(run), F.lit(0)))
+        "bkt",
+        "d",
+        F.sum("d").over(seg).alias("lp"),
+    ).withColumn("lmin", F.min("lp").over(seg))
+    # segment totals/minima: the groupBy keys equal the window partitioning,
+    # so this aggregate re-uses the existing distribution (no new exchange)
+    chunks = loc.groupBy("event_type", "bkt").agg(
+        F.sum("d").alias("csum"), F.min("lp").alias("cmin")
+    )
+    prior = Window.partitionBy("event_type").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = chunks.select(
+        "event_type",
+        "bkt",
+        F.coalesce(F.sum("csum").over(prior), F.lit(0)).alias("c_in"),
+        "cmin",
+    ).select(
+        "event_type",
+        "bkt",
+        "c_in",
+        # least() skips nulls, so an empty prior frame leaves the virtual
+        # empty prefix P₀ = 0 — the same 0-floor the flat identity needs:
+        # without it a series starting above target would report S = 0
+        # where the recursion says S = P₁ (caught by the model check)
+        F.least(
+            F.lit(0), F.min(F.col("c_in") + F.col("cmin")).over(prior)
+        ).alias("m_in"),
+    )
+    out = loc.join(F.broadcast(carry), ["event_type", "bkt"]).select(
+        "event_type",
+        "event_id",
+        "us",
+        (
+            (F.col("c_in") + F.col("lp"))
+            - F.least(F.col("m_in"), F.col("c_in") + F.col("lmin"))
+        )
         .cast("long")
         .alias("cusum_c"),
     )
-    return s.select(
+    return out.select(
         "event_type",
         "event_id",
         "us",

@@ -87,17 +87,24 @@ _SNAP_DIR = "_snaphead"  # leading "_": hidden from Spark's parquet reader
 
 def atomic_swap_publish(
     df: DataFrame, dim_path: str, state: dict, snap: DataFrame | None = None
-) -> None:
+) -> dict[str, float]:
     """Write `df` + state marker (+ the head-day snapshot sidecar) to a
     temp dir, then swap it live with two renames (same discipline as
     pipeline._overwrite_in_place, plus the marker travels INSIDE the
     published dir so dimension, sidecar, and batch_id are one atomic
-    unit)."""
+    unit). Returns per-step wall seconds (dim/snap parquet write jobs,
+    marker+rename swap) so the soak harness can attribute the publish
+    phase's per-batch constant instead of reporting one opaque number."""
+    import time as _time
+
     tmp, old = dim_path + ".tmp-swap", dim_path + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
+    t0 = _time.perf_counter()
     df.write.mode("overwrite").parquet(tmp)
+    t1 = _time.perf_counter()
     if snap is not None:
         snap.write.mode("overwrite").parquet(os.path.join(tmp, _SNAP_DIR))
+    t2 = _time.perf_counter()
     with open(os.path.join(tmp, _STATE_FILE), "w") as f:
         json.dump(state, f)
     shutil.rmtree(old, ignore_errors=True)
@@ -105,6 +112,12 @@ def atomic_swap_publish(
         os.rename(dim_path, old)
     os.rename(tmp, dim_path)
     shutil.rmtree(old, ignore_errors=True)
+    t3 = _time.perf_counter()
+    return {
+        "publish_dim_write": t1 - t0,
+        "publish_snap_write": t2 - t1,
+        "publish_swap": t3 - t2,
+    }
 
 
 _LOG_SUFFIX = ".log"  # bronze event-log sidecar, OUTSIDE the swapped dir
@@ -539,7 +552,7 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
                 .unionByName(head_snap)
             )
         _t = _mark("reconcile", _t)
-        atomic_swap_publish(
+        steps = atomic_swap_publish(
             target,
             dim_path,
             {
@@ -551,6 +564,8 @@ def scd2_stream_sink(dim_path, keys, attrs, ts_col="ts", tiebreak="event_id",
             },
             snap=snap_final,
         )
+        for k, v in steps.items():
+            fold.phase_sec[k] = fold.phase_sec.get(k, 0.0) + v
         _t = _mark("publish", _t)
         fold.applied.append(batch_id)
 

@@ -902,6 +902,41 @@ def test_cusum_kernel_identity_property(spark, vals, mean):
         assert r.alarm == (s > h_c)
 
 
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=50_000), min_size=1, max_size=40
+    ),
+    mean=st.integers(min_value=0, max_value=50_000),
+    bucket=st.sampled_from([1, 2, 3, 7, 1_000]),
+)
+def test_cusum_segmented_carry_property(spark, vals, mean, bucket):
+    """The segmented-scan recombination (per-bucket local prefix + carry
+    relation) is bit-identical to the sequential recursion when the series
+    is forced across MANY segments — bucket sizes down to 1 row/segment
+    exercise every carry boundary, including empty-prior-frame m_in and
+    all-negative / all-positive segment totals."""
+    from t20_database_etl_pipeline_assignment_spark.operators.analytics import (
+        cusum_stat,
+    )
+
+    k_c, h_c = 2500, 20000
+    rows = [("t", i, i, v) for i, v in enumerate(vals)]
+    e = spark.createDataFrame(
+        rows, "event_type string, event_id long, us long, v_c long"
+    )
+    targets = spark.createDataFrame([("t", mean)], "event_type string, mean_c long")
+    got = sorted(
+        cusum_stat(e, targets, k_c, h_c, bucket_us=bucket).collect(),
+        key=lambda r: r.event_id,
+    )
+    s = 0
+    for r, v in zip(got, vals):
+        s = max(0, s + v - mean - k_c)
+        assert abs(r.cusum - s / 100.0) < 1e-12
+        assert r.alarm == (s > h_c)
+
+
 def test_reorder_interval_model(spark, sf_dir):
     o = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
