@@ -25,6 +25,7 @@ from .operators import (  # noqa: F401
     extras5,
     geo,
     io_ops,
+    lakehouse,
     llm,
     multimodal,
     partitioned,
