@@ -94,16 +94,49 @@ def atomic_swap_publish(
     published dir so dimension, sidecar, and batch_id are one atomic
     unit). Returns per-step wall seconds (dim/snap parquet write jobs,
     marker+rename swap) so the soak harness can attribute the publish
-    phase's per-batch constant instead of reporting one opaque number."""
+    phase's per-batch constant instead of reporting one opaque number.
+
+    The dimension and sidecar writes are independent jobs that both land
+    in tmp dirs before any rename, so they run on two threads (Spark's
+    scheduler is thread-safe). Round-10 soak attribution: sequential they
+    split the publish phase 50/50 (0.69 + 0.75 s/batch, renames 3 ms);
+    overlapped, the phase measured 1.45 → 1.17 s/batch — each job's own
+    wall RISES under contention (both are small driver/scheduler-bound
+    jobs, so overlap buys ~20-25%, not 2×; the honest measured shape, kept
+    because the win is free of correctness risk). Atomicity is untouched:
+    the swap starts only after BOTH futures complete."""
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
 
     tmp, old = dim_path + ".tmp-swap", dim_path + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
     t0 = _time.perf_counter()
-    df.write.mode("overwrite").parquet(tmp)
-    t1 = _time.perf_counter()
+
+    def _timed(write):
+        s = _time.perf_counter()
+        write()
+        return _time.perf_counter() - s
+
     if snap is not None:
-        snap.write.mode("overwrite").parquet(os.path.join(tmp, _SNAP_DIR))
+        # the sidecar writes to a SIBLING tmp and is renamed inside after
+        # both jobs finish: nesting it under `tmp` mid-flight would race
+        # the dimension job's overwrite-mode delete-at-start of `tmp`
+        tmp_snap = dim_path + ".tmp-snap"
+        shutil.rmtree(tmp_snap, ignore_errors=True)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_dim = ex.submit(
+                _timed, lambda: df.write.mode("overwrite").parquet(tmp)
+            )
+            f_snap = ex.submit(
+                _timed,
+                lambda: snap.write.mode("overwrite").parquet(tmp_snap),
+            )
+            dim_sec, snap_sec = f_dim.result(), f_snap.result()
+        os.rename(tmp_snap, os.path.join(tmp, _SNAP_DIR))
+    else:
+        dim_sec, snap_sec = _timed(
+            lambda: df.write.mode("overwrite").parquet(tmp)
+        ), 0.0
     t2 = _time.perf_counter()
     with open(os.path.join(tmp, _STATE_FILE), "w") as f:
         json.dump(state, f)
@@ -114,9 +147,10 @@ def atomic_swap_publish(
     shutil.rmtree(old, ignore_errors=True)
     t3 = _time.perf_counter()
     return {
-        "publish_dim_write": t1 - t0,
-        "publish_snap_write": t2 - t1,
+        "publish_dim_write": dim_sec,
+        "publish_snap_write": snap_sec,
         "publish_swap": t3 - t2,
+        "publish_writes_wall": t2 - t0,
     }
 
 
