@@ -70,6 +70,18 @@ SHOWCASE = [
         "it run BEFORE the quadratic verifiers at 100 TB.",
     ),
     (
+        "win_cusum_drift",
+        "Segmented CUSUM scan (round 10): the big window partitions on "
+        "(event_type, DAY bucket) — parallelism tracks the log's time "
+        "span, not the handful of event types — and the tiny carry "
+        "relation (exclusive segment totals + prior minima, one window "
+        "over |types|x|days| rows) comes back as a BroadcastHashJoin. The "
+        "carry branch's aggregate reads the big exchange via AQE stage "
+        "reuse (bkt is built non-nullable so both lineages canonicalize "
+        "equal), so shuffle WRITE stays 1x. Flat-vs-segmented A/B: "
+        "BENCH_CUSUM.json.",
+    ),
+    (
         "skyline_pareto",
         "Pareto skyline as ONE range-window sweep per brand (Window over "
         "exact cents, RANGE … 1 PRECEDING): the naive O(n²) NOT EXISTS "
