@@ -41,9 +41,28 @@ from ..sources.tables import table
 # ---------------------------------------------------------------------------
 
 
-def cosine(a: Column, b: Column) -> Column:
+def _sql_fold_dot(a: str, b: str) -> str:
+    """The sequential double fold as SQL text — parsing ONE string costs
+    ~1 Py4J round trip where the Column form (zip_with + aggregate + two
+    lambdas) costs ~10; the parsed tree is the identical expression."""
+    return (
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>),"
+        f" CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y),"
+        " 0.0D, (s, v) -> s + v)"
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
     """Sequential-fold cosine in double — bit-compatible with DuckDB's
-    list_cosine_similarity on DOUBLE[] inputs."""
+    list_cosine_similarity on DOUBLE[] inputs. Pass column NAMES when you
+    can: the string path parses one SQL expression instead of building
+    ~30 Columns over Py4J (same tree, ~60 ms less driver latency per
+    call site — r10 profile)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"({_sql_fold_dot(a, b)}"
+            f" / (sqrt({_sql_fold_dot(a, a)}) * sqrt({_sql_fold_dot(b, b)})))"
+        )
     ad = a.cast("array<double>")
     bd = b.cast("array<double>")
     dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
@@ -55,7 +74,9 @@ def cosine(a: Column, b: Column) -> Column:
 SQL_COSINE = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_sql_fold_dot(a, a)})")
     ad = a.cast("array<double>")
     return F.sqrt(
         F.aggregate(F.zip_with(ad, ad, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
@@ -1539,7 +1560,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("sim"),
+            F.round(cosine("q_emb", "embedding"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -1605,7 +1626,7 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("sim_full"),
+            F.round(cosine("q_emb", "embedding"), 6).alias("sim_full"),
             F.round(
                 cosine(pref(F.col("q_emb")), pref(F.col("embedding"))), 6
             ).alias("sim_pref"),
@@ -1902,7 +1923,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("sim"),
+            F.round(cosine("q_emb", "embedding"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -1917,17 +1938,9 @@ def _ivf_nearest_cells(vecs: DataFrame, cents: DataFrame, n: int) -> DataFrame:
     """Top-n cells per vector by cosine against broadcast centroids.
     Norms are precomputed once per side (not per pair), so the per-pair
     work is a single dot fold — 3× less than naive cosine()."""
-    v = vecs.withColumn("_vn", norm(F.col("embedding")))
-    c = cents.withColumn("_cn", norm(F.col("centroid")))
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            F.col("centroid").cast("array<double>"),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
+    v = vecs.withColumn("_vn", norm("embedding"))
+    c = cents.withColumn("_cn", norm("centroid"))
+    dot = F.expr(_sql_fold_dot("embedding", "centroid"))
     scored = v.crossJoin(F.broadcast(c)).select(
         "vec_id",
         "cell",
@@ -2091,7 +2104,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("sim"),
+            F.round(cosine("q_emb", "embedding"), 6).alias("sim"),
         )
     )
     # no distinct needed: each neighbor lives in exactly one cell, so a
@@ -2175,7 +2188,7 @@ def sim_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("sim"),
+            F.round(cosine("q_emb", "embedding"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -2615,27 +2628,24 @@ def _pq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_emb = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        norm(F.col("embedding")).alias("q_norm"),
+        norm("embedding").alias("q_norm"),
     )
     # one map lookup per SUBSPACE (16), not per dim (64): element_at on a
     # broadcast map is a linear scan of all 1024 entries, so lookup count
-    # is the dominant per-row cost of the interpreted reconstruction
-    xhat = F.flatten(
-        F.array(
-            *[
-                F.zip_with(
-                    F.slice(cd, j * sub + 1, sub),
-                    F.element_at(
-                        F.col("cbm"),
-                        (F.lit(j * 100) + F.element_at(F.col("codes"), j + 1)).cast(
-                            "int"
-                        ),
-                    ),
-                    lambda c, b: c + b,
-                )
-                for j in range(_PQ_M)
-            ]
+    # is the dominant per-row cost of the interpreted reconstruction.
+    # Built as ONE parsed SQL expression: the 16-subspace listcomp of
+    # zip_with/slice/element_at Columns cost ~0.37 s of driver-side Py4J
+    # latency per invocation (r10 profile) for an identical expression
+    # tree — the probe's EXECUTED plan is unchanged.
+    xhat = F.expr(
+        "flatten(array("
+        + ",".join(
+            f"zip_with(slice(CAST(centroid AS ARRAY<DOUBLE>), {j * sub + 1}, {sub}),"
+            f" element_at(cbm, CAST({j * 100} + element_at(codes, {j + 1}) AS INT)),"
+            " (c, b) -> c + b)"
+            for j in range(_PQ_M)
         )
+        + "))"
     )
     # fused single-fold cosine: HOFs are CodegenFallback, and the shared
     # cosine() helper would re-evaluate the xhat tree once per reference
@@ -2739,7 +2749,7 @@ def sim_ann_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "sim_pq",
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("sim_exact"),
+            F.round(cosine("q_emb", "embedding"), 6).alias("sim_exact"),
         )
     )
     wex = Window.partitionBy("query_id").orderBy(
@@ -2850,7 +2860,7 @@ GROUP BY label
 )
 def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    n = e.select("vec_id", "label", norm(F.col("embedding")).alias("nrm"))
+    n = e.select("vec_id", "label", norm("embedding").alias("nrm"))
     return n.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         ((F.sum(scaled_long(F.col("nrm"), 1000000)) / F.lit(1000000.0)) / F.count(F.lit(1))).alias(
@@ -2946,7 +2956,7 @@ def multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bundle.meta.lang").alias("lang"),
         F.col("bundle.meta.n_chars").alias("n_chars"),
         F.size("bundle.embedding").cast("long").alias("emb_dim"),
-        F.round(norm(F.col("bundle.embedding")), 6).alias("emb_norm"),
+        F.round(norm("bundle.embedding"), 6).alias("emb_norm"),
     )
 
 
@@ -3653,11 +3663,11 @@ def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs_row = cents.select(
             F.collect_list(
                 F.struct(
-                    F.col("cell"), F.col("centroid"), norm(F.col("centroid")).alias("cn")
+                    F.col("cell"), F.col("centroid"), norm("centroid").alias("cn")
                 )
             ).alias("cs")
         )
-        vn = norm(F.col("emb"))
+        vn = norm("emb")
         dot = lambda c: F.aggregate(  # noqa: E731 — bound per candidate
             F.zip_with(F.col("emb"), c["centroid"], lambda x, y: x * y),
             F.lit(0.0),

@@ -846,11 +846,13 @@ def sql_supplier_cnt_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bal_c") * F.col("n") < F.col("bal_s"))
         .select("s_suppkey")
     )
-    ps = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    # no explicit DISTINCT: COUNT(DISTINCT l_suppkey) already dedups on
+    # (group keys, suppkey) with map-side partial aggregation, so the
+    # pre-distinct paid a full extra exchange of the pair projection for
+    # a dedup the final aggregate re-does anyway (r10 A/B; the oracle's
+    # DISTINCT pair CTE is untouched — duplicate pairs cannot change a
+    # distinct count)
+    ps = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = (
         table(spark, sf_dir, "part")
         .filter(

@@ -91,7 +91,7 @@ def udaf_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..exprs import scaled_long
 
     e = table(spark, sf_dir, "embeddings")
-    n = e.select("label", scaled_long(norm(F.col("embedding")), 1000000).alias("nrm_scaled"))
+    n = e.select("label", scaled_long(norm("embedding"), 1000000).alias("nrm_scaled"))
     return n.groupBy("label").applyInPandas(
         _median_norms, schema="label int, median_norm_scaled double"
     )

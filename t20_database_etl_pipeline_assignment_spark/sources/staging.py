@@ -78,7 +78,18 @@ def cached_df(
     Concurrent callers (queries run in parallel threads share these
     artifacts) each build into a caller-unique tmp dir and publish with an
     atomic rename; losers discard their build. Deterministic builds make
-    either winner correct."""
+    either winner correct.
+
+    The returned LAZY reader handle is memoized per (Spark application,
+    path): `spark.read.parquet` costs ~50-100 ms of driver-side Py4J +
+    file-listing latency per call, and probe-style operators resolve 3-5
+    staged artifacts per invocation, so re-resolving them dominated those
+    queries' build time (r10 profile: 15 `.parquet()` calls = 1.1 s of a
+    3.9 s triple-build of sim_ann_ivf_pq). This memoizes only the handle —
+    every action still scans the parquet on disk — and is safe because a
+    published artifact is immutable: the atomic-rename publish is
+    write-once per path, and stale-generation pruning deletes only OTHER
+    generations' paths at process startup."""
     import os
     import shutil
     import threading
@@ -95,4 +106,12 @@ def cached_df(
             os.rename(tmp, path)  # atomic publish; fails if a winner exists
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, path)
+    got = _READER_MEMO.get(key)
+    if got is None:
+        got = _READER_MEMO[key] = spark.read.parquet(path)
+    return got
+
+
+# lazy reader handles per (application id, artifact path) — see cached_df
+_READER_MEMO: dict = {}
