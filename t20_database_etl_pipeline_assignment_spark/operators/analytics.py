@@ -537,31 +537,37 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unlike quality.anomaly_zscore) is itself immune to the outliers it
     hunts. Medians are EXACT lower-medians selected by row_number over
     (scaled value, event_id) — a total order, so duplicates and engine sort
-    instability can't change the pick. Two partitioned window passes + two
-    broadcast joins of the tiny per-type medians (|event types| rows); every
-    shuffle is keyed by event_type. The 100 TB tier is implemented as
+    instability can't change the pick. Everything rides ONE event_type
+    exchange (guide §2.4): the per-type median and MAD are lifted back onto
+    every row as unbounded window maxima of the single row_number-selected
+    value — the same partitioning the rank windows already established — so
+    the r9 shape's two broadcast-joins-back (each forcing a fresh scan of
+    events and a re-exchange of the stream) collapse into window
+    expressions, and the final per-type fold reuses the partitioning too
+    (plan: 3 exchanges + 3 scans → 1 + 1; the two rank sorts remain — they
+    are the exact-median cost). The 100 TB tier is implemented as
     mad_summary_approx below (percentile_approx, no window sorts); this
     exact path is the verification tier."""
     e = table(spark, sf_dir, "events").select(
         "event_type", "event_id", scaled_long(F.col("value"), 100).alias("v_c")
     )
     wt = Window.partitionBy("event_type")
-    med = e.select(
-        "event_type",
-        "event_id",
-        "v_c",
-        F.row_number().over(wt.orderBy("v_c", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(wt).alias("n"),
-    )
-    med = (
-        med.filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select("event_type", F.col("v_c").alias("med_c"))
-    )
-    dev = e.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "event_id",
-        F.abs(F.col("v_c") - F.col("med_c")).alias("dev_c"),
-        "med_c",
+    is_med = F.col("rn") == F.expr("(n + 1) div 2")
+    dev = (
+        e.select(
+            "event_type",
+            "event_id",
+            "v_c",
+            F.row_number().over(wt.orderBy("v_c", "event_id")).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("n"),
+        )
+        .withColumn("med_c", F.max(F.when(is_med, F.col("v_c"))).over(wt))
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(F.col("v_c") - F.col("med_c")).alias("dev_c"),
+            "med_c",
+        )
     )
     dr = dev.select(
         "event_type",
@@ -569,22 +575,14 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med_c",
         F.row_number().over(wt.orderBy("dev_c", "event_id")).alias("rn"),
         F.count(F.lit(1)).over(wt).alias("n"),
-    )
-    mad = (
-        dr.filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select("event_type", F.col("med_c").alias("m_med_c"), F.col("dev_c").alias("mad_c"))
-    )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.min("m_med_c") / F.lit(100.0)).alias("median_value"),
-            (F.min("mad_c") / F.lit(100.0)).alias("mad_value"),
-            F.sum(
-                F.when(F.col("dev_c") > 3 * F.col("mad_c"), 1).otherwise(0)
-            ).alias("n_outliers"),
-        )
+    ).withColumn("mad_c", F.max(F.when(is_med, F.col("dev_c"))).over(wt))
+    return dr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.min("med_c") / F.lit(100.0)).alias("median_value"),
+        (F.min("mad_c") / F.lit(100.0)).alias("mad_value"),
+        F.sum(
+            F.when(F.col("dev_c") > 3 * F.col("mad_c"), 1).otherwise(0)
+        ).alias("n_outliers"),
     )
 
 

@@ -1051,30 +1051,44 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def span_dup_stats(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
     """The span-dup kernel: input (doc_id, text), output per-doc distinct
     n-token-span counts and the duplicated fraction. Separated from the
-    fixture scan so tests can model-check it on generated corpora."""
+    fixture scan so tests can model-check it on generated corpora.
+
+    The heavy column here is the span STRING (~8 tokens each, one row per
+    token position), so the plan is shaped to move it across exactly ONE
+    exchange (guide §2.3): explode → hash-repartition on span, after which
+    the (doc_id, span) dedup, the span→document-frequency window, and the
+    per-doc fold all run on that single partitioning — hash(span) clusters
+    every grouping that follows (a partitioning on a subset of the group
+    keys satisfies the distribution), and n_distinct/n_dup collapse into
+    one conditional aggregate, so no per-doc join and no second pass over
+    the span text. The r10 rewrite also builds each span string ONCE
+    (transform + array_join over a token slice) instead of folding 7
+    zip_with passes of growing intermediate concatenations."""
     toks = _tokens()
-    parts = [F.slice(toks, i + 1, F.size(toks) - n + 1) for i in range(n)]
-    span = parts[0]
-    for p in parts[1:]:
-        span = F.zip_with(span, p, lambda x, y: F.concat_ws(" ", x, y))
+    span = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
     sp = (
         docs.filter(F.size(toks) >= n)
         .select("doc_id", F.explode(span).alias("span"))
-        .distinct()
+        .repartition("span")
+        .dropDuplicates(["doc_id", "span"])
     )
-    per_doc = sp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_distinct"))
-    df_ = sp.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
-    dup = (
-        sp.join(df_.filter(F.col("n_docs") >= 2), "span")
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("span"))
+    return (
+        sp.withColumn("n_docs", n_docs)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
-    )
-    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
-    return per_doc.join(dup, "doc_id", "left").select(
-        "doc_id",
-        "n_distinct",
-        n_dup.alias("n_dup"),
-        (n_dup / (F.lit(1.0) * F.col("n_distinct"))).alias("dup_frac"),
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.count(F.when(F.col("n_docs") >= 2, True)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct",
+            "n_dup",
+            (F.col("n_dup") / (F.lit(1.0) * F.col("n_distinct"))).alias("dup_frac"),
+        )
     )
 
 
@@ -1614,23 +1628,65 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     two rank windows partition on the tiny query id, and the overlap join
     is per-query integer counting. At 100 TB the prefix ranking would come
     from the truncated ANN index (sim_ann_*); this operator is the quality
-    gate you run on a sample before flipping traffic to it."""
+    gate you run on a sample before flipping traffic to it.
+
+    r10: both cosines run in the Arrow-batched kernel idiom of
+    _pairwise_cosine_grouped (mapInPandas, dims accumulated ascending in
+    float64 — the identical left-to-right IEEE summation as the JVM fold
+    and DuckDB, so the bits cannot move) instead of two interpreted
+    CodegenFallback HOF folds per row; the prefix cosine is the same
+    accumulation stopped at dim 16. Only the four needed columns cross
+    the Arrow boundary (guide §4.1); rounding stays JVM-side (HALF_UP,
+    as the oracle rounds)."""
+    import pandas as pd
+
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    pref = lambda c: F.slice(c, 1, _MATRYOSHKA_DIMS)  # noqa: E731
-    scored = (
+    pairs = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine("q_emb", "embedding"), 6).alias("sim_full"),
-            F.round(
-                cosine(pref(F.col("q_emb")), pref(F.col("embedding"))), 6
-            ).alias("sim_pref"),
-        )
+        .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "embedding")
+    )
+
+    def kernel(batches) -> "pd.DataFrame":
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["q_emb"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            dot_f, na_f, nb_f = np.zeros(n), np.zeros(n), np.zeros(n)
+            dot_p, na_p, nb_p = np.zeros(n), np.zeros(n), np.zeros(n)
+            for d in range(a.shape[1]):  # ascending dims == sequential fold
+                ca, cb = a[:, d], b[:, d]
+                dot_f += ca * cb
+                na_f += ca * ca
+                nb_f += cb * cb
+                if d < _MATRYOSHKA_DIMS:
+                    dot_p += ca * cb
+                    na_p += ca * ca
+                    nb_p += cb * cb
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "sim_full_raw": dot_f / (np.sqrt(na_f) * np.sqrt(nb_f)),
+                    "sim_pref_raw": dot_p / (np.sqrt(na_p) * np.sqrt(nb_p)),
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        kernel,
+        "query_id long, neighbor_id long, sim_full_raw double, sim_pref_raw double",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("sim_full_raw", 6).alias("sim_full"),
+        F.round("sim_pref_raw", 6).alias("sim_pref"),
     )
     w_full = Window.partitionBy("query_id").orderBy(
         F.desc("sim_full"), F.asc("neighbor_id")
@@ -4075,34 +4131,36 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-dedup family (dedup_span_ngram flags the shared spans; this
     scores the residual per doc).
 
-    Linear dataflow, same shape as dedup_span_ngram: one explode to
-    distinct (doc, gram), one groupBy-min over the gram key (Zipf-hot
-    grams reduce map-side), one co-partitioned join back on gram, one
-    doc_id fold. The ratio is exact integer milli-units (DIV). Docs with
+    Linear dataflow, same shape as dedup_span_ngram (and restructured the
+    same way in r10): the exploded gram stream crosses ONE explicit gram
+    exchange, the (doc, gram) dedup runs exchange-free on it, and the
+    first-seen minimum is lifted onto every row as an unbounded window
+    min over the SAME partitioning — no groupBy-min relation, no join
+    back, so the gram text never crosses the wire twice. Then one doc_id
+    fold. The ratio is exact integer milli-units (DIV). Docs with
     fewer than three tokens have no trigram and are absent — the same
     convention as the shingle family."""
     # Guard BEFORE slicing: a doc with <3 tokens (including empty text,
-    # whose split yields ['']) would give F.slice a negative length and
-    # crash the whole query; the oracle's range() just yields nothing for
-    # such docs, so dropping them matches by absence.
+    # whose split yields ['']) would crash on a negative sequence bound;
+    # the oracle's range() just yields nothing for such docs, so dropping
+    # them matches by absence.
     d = table(spark, sf_dir, "documents").filter(F.size(_tokens()) >= 3)
     toks = _tokens()
-    tri = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 2),
-        F.zip_with(
-            F.slice(toks, 2, F.size(toks) - 2),
-            F.slice(toks, 3, F.size(toks) - 2),
-            lambda y, z: F.concat_ws(" ", y, z),
-        ),
-        lambda x, yz: F.concat_ws(" ", x, yz),
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
     )
-    grams = d.select("doc_id", F.explode(tri).alias("g")).distinct()
-    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    grams = (
+        d.select("doc_id", F.explode(tri).alias("g"))
+        .repartition("g")
+        .dropDuplicates(["doc_id", "g"])
+    )
+    first_seen = F.min("doc_id").over(Window.partitionBy("g"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     )
     return (
-        grams.join(first_seen, "g")
+        grams.withColumn("first_doc", first_seen)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -4336,11 +4394,17 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     define identically.
 
     Scale shape: linear like the unigram twin — one bigram explode (the
-    zip of two token-array slices, JVM-side), one (prev,cur) count
-    shuffle with map-side combine on the Zipf-hot transitions, the
-    context totals re-aggregated from the PAIR table (vocab²-bounded,
-    never a second pass over the stream), then one co-partitioned join
-    back and a doc_id fold. No UDF, no pairs of documents."""
+    zip of two token-array slices, JVM-side), and the exploded stream
+    crosses the wire exactly ONCE (guide §2.3/2.4): an explicit
+    (prev,cur) hash exchange that the pair-count aggregate, and the
+    count-join back, all inherit (the r9 shape re-shuffled the raw
+    stream twice more — once joining the pair counts, once joining the
+    context totals on prev). The context totals still come from the
+    PAIR table (vocab²-bounded, never a second pass over the stream)
+    and are attached to the pair table BEFORE the stream join, so only
+    vocab²-sized relations move again; the (prev,cur) key also keeps
+    the Zipf-hot 'the·*' context spread across partitions. Then one
+    doc_id fold. No UDF, no pairs of documents."""
     d = table(spark, sf_dir, "documents")
     toks = _tokens()
     pairs_arr = F.zip_with(
@@ -4352,13 +4416,13 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.size(toks) >= 2)
         .select("doc_id", F.explode(pairs_arr).alias("bg"))
         .select("doc_id", "bg.prev", "bg.cur")
+        .repartition("prev", "cur")
     )
     pair = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cp"))
     ctx = pair.groupBy("prev").agg(F.sum("cp").alias("cc"))
     bits = F.length(F.bin(F.expr("cc DIV cp"))) - F.lit(1)
     return (
-        bg.join(pair, ["prev", "cur"])
-        .join(ctx, "prev")
+        bg.join(pair.join(ctx, "prev"), ["prev", "cur"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

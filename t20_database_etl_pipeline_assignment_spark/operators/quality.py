@@ -174,19 +174,27 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id % 97 == 0 slice stands in for an eval suite). The benchmark gram
     set is broadcast — it is small by construction — so the corpus side is
     a single narrow pass + local semi-join; no corpus-sized shuffle at
-    100 TB. Docs at or above 50% overlap are flagged for exclusion."""
+    100 TB. Docs at or above 50% overlap are flagged for exclusion.
+
+    r10 plan shape: the exploded gram stream crosses ONE explicit doc_id
+    exchange; the (doc_id, gram) dedup runs exchange-free on it (hash on a
+    subset of the keys satisfies the clustering) and the per-doc fold after
+    the broadcast semi-join inherits the same partitioning — the r9 shape
+    paid a (doc_id, gram) dedup exchange AND a doc_id fold exchange, both
+    carrying gram text. Gram strings are also built once each
+    (transform + array_join) instead of 5 zip_with folds of growing
+    intermediates."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    parts = [
-        F.slice(toks, i + 1, F.size(toks) - _CONTAM_N + 1) for i in range(_CONTAM_N)
-    ]
-    grams5 = parts[0]
-    for p in parts[1:]:
-        grams5 = F.zip_with(grams5, p, lambda x, y: F.concat_ws(" ", x, y))
+    grams5 = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (_CONTAM_N - 1)),
+        lambda i: F.array_join(F.slice(toks, i, _CONTAM_N), " "),
+    )
     grams = (
         d.filter(F.size(toks) >= _CONTAM_N)
         .select("doc_id", F.explode(grams5).alias("gram"))
-        .distinct()
+        .repartition("doc_id")
+        .dropDuplicates(["doc_id", "gram"])
     )
     bench = (
         grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
@@ -289,12 +297,19 @@ def cluster_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.coalesce("root", "doc_id").alias("component"))
 
 
-def _canonical_edges(e: DataFrame) -> DataFrame:
-    return (
-        e.filter(F.col("u") != F.col("v"))
-        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
-        .distinct()
+def _canonical_edges(e: DataFrame, part_key: str | None = None) -> DataFrame:
+    """Canonical (u < v) distinct edge set. With `part_key`, the dedup is
+    planned as ONE explicit hash exchange on that single key followed by
+    an exchange-free complete aggregate — hash partitioning on a subset
+    of the grouping keys satisfies the (u, v) clustering — so a consumer
+    that groups or joins on `part_key` right after inherits the
+    partitioning and pays no further shuffle (guide §2.4)."""
+    c = e.filter(F.col("u") != F.col("v")).select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
     )
+    if part_key is not None:
+        return c.repartition(part_key).dropDuplicates(["u", "v"])
+    return c.distinct()
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -302,10 +317,13 @@ def _large_star(e: DataFrame) -> DataFrame:
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = sym.groupBy("u").agg(F.min("v").alias("mn"))
     m = m.select("u", F.least("u", "mn").alias("m"))
+    # dedup partitioned on v: _small_star groups and joins on v next, so
+    # its aggregate and join reuse this one exchange
     return _canonical_edges(
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v")),
+        part_key="v",
     )
 
 
@@ -322,25 +340,38 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 def _star_contract(edges: DataFrame, max_iters: int = 40) -> tuple[DataFrame, int]:
     """Alternate large-star/small-star on a canonical (u < v) edge set
-    until it is stable; at the fixed point every edge is (component_min,
-    node) — min-rooted stars. Returns (star edges, iterations including
-    the confirming no-change pass). Each iteration localCheckpoints to
-    cut lineage, and convergence is decided from a single (count,
-    hash-xor) signature row per iteration — equal signatures on the
-    distinct canonical sets mean equal sets up to a ~2^-64 xor collision
-    (bit_xor, not sum: order-independent and cannot overflow ANSI
-    longs)."""
+    until the edge set is min-rooted stars — the algorithm's fixed point,
+    where every edge is (component_min, node). Returns (star edges,
+    iterations). Each iteration localCheckpoints to cut lineage, and
+    convergence is decided by testing the star SHAPE directly (no hub is
+    also a leaf, no leaf has two hubs) with one tiny aggregate job — one
+    full contraction round cheaper than the r9 approach of iterating
+    until a (count, hash-xor) signature stopped changing, and exact
+    rather than hash-probabilistic."""
     edges = _canonical_edges(edges)
-    prev: tuple = ()
     for it in range(1, max_iters + 1):
         edges = _small_star(_large_star(edges)).localCheckpoint()
-        sig_row = edges.agg(
-            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
-        if sig == prev:
+        # Stop as soon as the edge set IS min-rooted stars, instead of
+        # running one more full contraction round to observe no change
+        # (the r9 signature check): a canonical (u < v) edge set is a
+        # fixed point of small∘large iff no node is both a hub (appears
+        # as u) and a leaf (appears as v) and no leaf has two hubs —
+        # exactly the min-rooted-star shape the loop converges to, so
+        # this saves the confirming round. One tiny aggregate job over
+        # the checkpointed edges decides it.
+        ends = edges.select(
+            F.col("u").alias("n"), F.lit(1).alias("hub"), F.lit(0).alias("leaf")
+        ).unionByName(
+            edges.select(F.col("v").alias("n"), F.lit(0).alias("hub"), F.lit(1).alias("leaf"))
+        )
+        non_star = (
+            ends.groupBy("n")
+            .agg(F.sum("hub").alias("nu"), F.sum("leaf").alias("nv"))
+            .filter(((F.col("nu") > 0) & (F.col("nv") > 0)) | (F.col("nv") > 1))
+            .count()
+        )
+        if non_star == 0:
             return edges, it
-        prev = sig
     raise RuntimeError(f"star contraction did not converge in {max_iters} iterations")
 
 

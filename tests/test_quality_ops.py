@@ -83,6 +83,38 @@ def test_star_contraction_logn_on_deep_path(spark):
     assert {r.v for r in rows} == set(range(1, n))
 
 
+def test_star_contraction_stops_only_on_true_stars(spark):
+    """The r10 convergence check declares the fixed point from the star
+    SHAPE (no hub is a leaf, no leaf has two hubs) instead of waiting for
+    a no-change round. Adversarial shapes that LOOK converged but are not
+    min-rooted stars yet — a shared leaf with two hubs (0-5, 1-5), a
+    triangle, and a hub chain — must still contract to the component
+    minimum, and an already-star input must return in one round."""
+    from t20_database_etl_pipeline_assignment_spark.operators.quality import (
+        _star_contract,
+    )
+
+    def roots(edge_list):
+        star, iters = _star_contract(
+            spark.createDataFrame(edge_list, "u long, v long")
+        )
+        rows = star.collect()
+        # output must BE min-rooted stars: u never appears as a v
+        assert {r.u for r in rows}.isdisjoint({r.v for r in rows})
+        return {r.v: r.u for r in rows}, iters
+
+    # shared leaf, two hubs: small_star must merge 0 and 1 through 5
+    comp, _ = roots([(0, 5), (1, 5)])
+    assert comp == {1: 0, 5: 0}
+    # triangle: one component rooted at its minimum
+    comp, _ = roots([(10, 11), (11, 12), (10, 12)])
+    assert comp == {11: 10, 12: 10}
+    # already a min-rooted star: converges and stays a star in one round
+    comp, iters = roots([(7, 8), (7, 9), (7, 20)])
+    assert comp == {8: 7, 9: 7, 20: 7}
+    assert iters == 1
+
+
 def test_star_contraction_multi_component(spark):
     """Two interleaved odd/even chains (ids interleave, so min-labels must
     cross-propagate correctly) plus an isolated-free check: each chain
