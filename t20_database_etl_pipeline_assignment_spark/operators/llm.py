@@ -1382,9 +1382,16 @@ def minhash_band_sweep(
             % 100
             < sample_pct
         )
+    # the 12 permutation mins and the 13 band-key structs as parsed SQL
+    # expressions (~20 Py4J round trips instead of ~200 for identical
+    # trees — the r10 driver-latency idiom; hash60's SQL text mirrors
+    # _sql_hash60)
     sig0 = sh.groupBy("doc_id").agg(
         *[
-            F.min(hash60(F.concat(F.col("shingle"), F.lit(f":{p}")))).alias(f"mh{p}")
+            F.expr(
+                "min(CAST(conv(substring(md5(concat(shingle, "
+                f"':{p}')), 1, 15), 16, 10) AS BIGINT)) AS mh{p}"
+            )
             for p in range(_SWEEP_PERMS)
         ]
     )
@@ -1392,14 +1399,10 @@ def minhash_band_sweep(
     for nb in _SWEEP_BANDS:
         r = _SWEEP_PERMS // nb
         for j in range(nb):
-            key = F.concat_ws(
-                ",", *[F.col(f"mh{j * r + k}").cast("string") for k in range(r)]
-            )
+            key = ", ".join(f"CAST(mh{j * r + k} AS STRING)" for k in range(r))
             entries.append(
-                F.struct(
-                    F.lit(nb).alias("nb"),
-                    F.lit(j).alias("band"),
-                    key.alias("key"),
+                F.expr(
+                    f"struct({nb} AS nb, {j} AS band, concat_ws(',', {key}) AS key)"
                 )
             )
     # clone signatures need no recompute (identical text => identical sig),
@@ -3714,6 +3717,17 @@ def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_KM_K)
         .select(F.col("vec_id").alias("cell"), F.col("emb").alias("centroid"))
     )
+    # the argmax fold as ONE parsed SQL expression, hoisted out of the
+    # loop: the Column form (transform + nested aggregate/zip_with
+    # lambdas, built 3x) cost ~0.4 s of driver-side Py4J latency per
+    # invocation for an identical expression tree (r10 profile; same
+    # move as the PQ reconstruction / cosine fast path)
+    _dot = _sql_fold_dot("emb", "c.centroid")
+    _vn = f"sqrt({_sql_fold_dot('emb', 'emb')})"
+    best = F.expr(
+        "array_min(transform(cs, c -> struct("
+        f"-({_dot} / ({_vn} * c.cn)) AS neg, c.cell AS cell)))"
+    )
     stats = []
     for i in range(1, _KM_ITERS + 1):
         cs_row = cents.select(
@@ -3722,21 +3736,6 @@ def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cell"), F.col("centroid"), norm("centroid").alias("cn")
                 )
             ).alias("cs")
-        )
-        vn = norm("emb")
-        dot = lambda c: F.aggregate(  # noqa: E731 — bound per candidate
-            F.zip_with(F.col("emb"), c["centroid"], lambda x, y: x * y),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        best = F.array_min(
-            F.transform(
-                F.col("cs"),
-                lambda c: F.struct(
-                    (-(dot(c) / (vn * c["cn"]))).alias("neg"),
-                    c["cell"].alias("cell"),
-                ),
-            )
         )
         assign = (
             e.crossJoin(F.broadcast(cs_row))
