@@ -65,9 +65,12 @@ SHOWCASE = [
     ),
     (
         "dedup_span_ngram",
-        "Span-level dedup stays linear: hash joins on span/doc_id keys "
-        "only — no doc×doc join anywhere in the tree, which is what lets "
-        "it run BEFORE the quadratic verifiers at 100 TB.",
+        "Span-level dedup stays linear — and since round 10, JOIN-FREE: "
+        "the exploded span stream crosses ONE hash(span) Exchange that "
+        "the (doc,span) dedup, the document-frequency window, and the "
+        "conditional per-doc fold all inherit; no doc×doc join (or any "
+        "join) anywhere in the tree, which is what lets it run BEFORE "
+        "the quadratic verifiers at 100 TB.",
     ),
     (
         "win_cusum_drift",
