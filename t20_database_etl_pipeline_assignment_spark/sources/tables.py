@@ -47,9 +47,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     same NTZ µs column (exact `div 1000`, identical to DuckDB's ns→µs
     truncation). The conf is runtime-settable, so this works under ANY
     caller-provided session (the driver passes its own SparkSession).
+
+    The LAZY scan handle is memoized per (Spark application, sf_dir,
+    name) — the same idiom as staging.cached_df's reader memo, for the
+    same r10-profiled reason: `spark.read.parquet` costs ~50-100 ms of
+    driver-side Py4J + file-listing latency per call and every query
+    re-resolves 1-6 fixture tables per invocation. Only the handle is
+    memoized — every action still scans the parquet on disk — and it is
+    safe because a fixture directory is immutable within a process (the
+    driver regenerates /root/testdata between rounds, i.e. between
+    processes, and .scale_fixtures regeneration likewise precedes the
+    runs that read it).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    got = _SCAN_MEMO.get(key)
+    if got is not None:
+        return got
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if name in _RESTAGE_TABLES:
@@ -60,7 +75,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
+    _SCAN_MEMO[key] = df
     return df
+
+
+# lazy fixture-scan handles per (application id, sf_dir, table) — see table()
+_SCAN_MEMO: dict = {}
 
 
 # The documents table feeds interpreted higher-order-function work (token
