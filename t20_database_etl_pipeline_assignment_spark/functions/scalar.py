@@ -444,7 +444,19 @@ def fn_try_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANSI mode, try_cast does the same for malformed strings ('1-URGENT'
     → NULL, its leading digit → 1). The NULL-not-crash contract is what
     lets a 100 TB load survive the one poisoned row in billions, with the
-    NULLs routed to the dq_quarantine path downstream."""
+    NULLs routed to the dq_quarantine path downstream.
+
+    Bench posture (do NOT "optimize" this face): the fixture INVERTS the
+    production cost profile on purpose — o_orderpriority ('1-URGENT') is
+    malformed for 100% of rows, so the full-string try_cast throws and
+    catches a JVM NumberFormatException per row. Measured (r9 A/B,
+    BASELINE.md "Accepted slow spots"): 0.16 s without that column,
+    1.27 s with it, at sf0.1. At 100 TB poison rows are ~one-in-billions
+    and the exception constant vanishes; making the fixture column
+    castable would un-test the very contract this face exists to pin.
+    Its ~1.0 scaling ratio at sf0.1 (PERF_r10) is the same artifact: the
+    per-row exception cost on 150 k rows is a constant, not executor-CPU
+    parallelism."""
     o = table(spark, sf_dir, "orders")
     denom = F.col("o_orderkey") % 100
     return o.select(

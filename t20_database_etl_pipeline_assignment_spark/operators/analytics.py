@@ -1730,10 +1730,20 @@ def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("us", "kind", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # next_* via a REVERSED-order RUNNING frame, not a (CURRENT ROW,
+    # UNBOUNDED FOLLOWING) frame (r11): Spark's unbounded-following frame
+    # re-scans from the current row to the partition end for EVERY row
+    # (UnboundedFollowingWindowFunctionFrame — O(rows² per partition)),
+    # while the running frame accumulates incrementally in O(rows).
+    # (us, kind, event_id) is a strict total order within a user, so the
+    # descending sort is its exact mirror and last(non-null) over the
+    # reversed prefix IS first(non-null) over the forward suffix —
+    # identical values; the price is one extra in-partition sort on the
+    # same user_id exchange, no new shuffle (A/B in OPTIMIZATION_r11.md).
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("us", "kind", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("us"), F.desc("kind"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_us = F.when(F.col("kind") == 0, F.col("us"))
     obs_v = F.when(F.col("kind") == 0, F.col("v_c"))
@@ -1743,8 +1753,8 @@ def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         F.last(obs_us, ignorenulls=True).over(wp).alias("prev_us"),
         F.last(obs_v, ignorenulls=True).over(wp).alias("prev_v"),
-        F.first(obs_us, ignorenulls=True).over(wn).alias("next_us"),
-        F.first(obs_v, ignorenulls=True).over(wn).alias("next_v"),
+        F.last(obs_us, ignorenulls=True).over(wn).alias("next_us"),
+        F.last(obs_v, ignorenulls=True).over(wn).alias("next_v"),
     )
     # exact integer lerp numerator + ONE double division — a float a+b*c
     # lerp differs between engines in the last ulp under compiler FMA

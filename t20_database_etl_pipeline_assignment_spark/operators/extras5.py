@@ -92,10 +92,15 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # next_* via the reversed-order RUNNING frame (r11, same move as
+    # resample_interpolate_linear): Spark's unbounded-following frame is
+    # O(rows²) per partition; (us, kind, event_id) is a strict total
+    # order per user, so running last over the descending mirror is
+    # value-identical to first over the forward suffix in O(rows).
     wf = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*[c.desc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     m = u.select(
         "user_id",
@@ -104,8 +109,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         F.last("click_id", ignorenulls=True).over(wb).alias("prev_id"),
         F.last("click_us", ignorenulls=True).over(wb).alias("prev_us"),
-        F.first("click_id", ignorenulls=True).over(wf).alias("next_id"),
-        F.first("click_us", ignorenulls=True).over(wf).alias("next_us"),
+        F.last("click_id", ignorenulls=True).over(wf).alias("next_id"),
+        F.last("click_us", ignorenulls=True).over(wf).alias("next_us"),
     )
     prefer_prev = F.col("prev_us").isNotNull() & (
         F.col("next_us").isNull()

@@ -1450,6 +1450,11 @@ def minhash_band_sweep(
     szd = sh.join(F.broadcast(sizes), "doc_id")
     sa = szd.alias("sa")
     sb = szd.alias("sb")
+    # only the PAIR KEY crosses the exchange (guide §2.3, r11): sza/szb are
+    # needed for the prune BEFORE the shuffle and for the ratio AFTER the
+    # aggregate, so they are re-attached to the (tiny) aggregated pair
+    # relation by two broadcast joins instead of riding every fan-out row
+    # through the wire and a first()-aggregate buffer per group
     pair_rows = sa.join(
         sb,
         (F.col("sa.shingle") == F.col("sb.shingle"))
@@ -1459,8 +1464,6 @@ def minhash_band_sweep(
     ).select(
         F.col("sa.doc_id").alias("doc1"),
         F.col("sb.doc_id").alias("doc2"),
-        F.col("sa.sz").alias("sza"),
-        F.col("sb.sz").alias("szb"),
     )
     # market_basket_pairs lesson (BENCH_BASKET.json): pair keys out of an
     # inverted-index fan-out are mostly unique, so a map-side partial
@@ -1475,19 +1478,31 @@ def minhash_band_sweep(
             "doc2",
         )
         .groupBy("doc1", "doc2")
-        .agg(
-            F.count(F.lit(1)).alias("i"),
-            F.first("sza").alias("sza"),
-            F.first("szb").alias("szb"),
-        )
+        .agg(F.count(F.lit(1)).alias("i"))
     )
-    truth_base = inter.filter(
-        F.round(
-            F.col("i") / (F.lit(1.0) * (F.col("sza") + F.col("szb") - F.col("i"))),
-            6,
+    truth_base = (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sza"))
+            ),
+            "doc1",
         )
-        >= _SWEEP_J
-    ).select("doc1", "doc2")
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("szb"))
+            ),
+            "doc2",
+        )
+        .filter(
+            F.round(
+                F.col("i")
+                / (F.lit(1.0) * (F.col("sza") + F.col("szb") - F.col("i"))),
+                6,
+            )
+            >= _SWEEP_J
+        )
+        .select("doc1", "doc2")
+    )
     # materialize the two base pair sets ONCE each, CONCURRENTLY, before
     # their closures: each closure's explode would otherwise re-run the
     # band join / pair aggregation per consumer (measured +81%% unpinned),
@@ -1517,28 +1532,32 @@ def minhash_band_sweep(
     )
     truth = _clone_pair_closure(truth_base).unionByName(truth_selfs)
     nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    rec = (
-        cand.join(truth, ["doc1", "doc2"])
-        .groupBy("nb")
-        .agg(F.count(F.lit(1)).alias("n_recalled"))
+    # ONE pass over the candidate closure (r11): truth pairs are unique
+    # (truth_base is a groupBy output and the four closure variants + the
+    # self rows are pairwise disjoint — see _clone_pair_closure), so a
+    # left join preserves candidate multiplicity exactly and count(_hit)
+    # per nb equals the old inner-join n_recalled, while count(*) is the
+    # old n_candidate_pairs — the separate rec/nc consumers each walked
+    # the closure again
+    flagged = cand.join(
+        F.broadcast(truth.withColumn("_hit", F.lit(1))), ["doc1", "doc2"], "left"
     )
-    nc = cand.groupBy("nb").agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
-    return (
-        nc.join(rec, "nb", "left")
-        .crossJoin(F.broadcast(nt))
-        .select(
-            F.col("nb").alias("n_bands"),
-            (F.lit(_SWEEP_PERMS) / F.col("nb")).cast("long").alias("rows_per_band"),
-            "n_candidate_pairs",
-            "n_true_pairs",
-            F.coalesce(F.col("n_recalled"), F.lit(0)).alias("n_recalled"),
-            F.expr(
-                "CAST((1000 * coalesce(n_recalled, 0)) DIV n_true_pairs AS BIGINT)"
-            ).alias("recall_milli"),
-            F.expr(
-                "CAST((1000 * coalesce(n_recalled, 0)) DIV n_candidate_pairs AS BIGINT)"
-            ).alias("precision_milli"),
-        )
+    per_nb = flagged.groupBy("nb").agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.count("_hit").alias("n_recalled"),
+    )
+    return per_nb.crossJoin(F.broadcast(nt)).select(
+        F.col("nb").alias("n_bands"),
+        (F.lit(_SWEEP_PERMS) / F.col("nb")).cast("long").alias("rows_per_band"),
+        "n_candidate_pairs",
+        "n_true_pairs",
+        "n_recalled",
+        F.expr(
+            "CAST((1000 * n_recalled) DIV n_true_pairs AS BIGINT)"
+        ).alias("recall_milli"),
+        F.expr(
+            "CAST((1000 * n_recalled) DIV n_candidate_pairs AS BIGINT)"
+        ).alias("precision_milli"),
     )
 
 
@@ -2520,20 +2539,19 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, and the oracle replays the identical codebook build.
 
     Search: the same broadcast-probe + cell-key join as the float and
-    SQ8 tiers; reconstruction xhat = concat of 16 per-subspace
-    (centroid-slice + codebook-subvector) zip_with adds over the ONE
-    broadcast codebook row (16×64 4-dim sub-vectors ≈ 32 KB) — no extra
-    shuffle versus the float path. Two measured per-row costs shape the
-    expression (6.3 s → 1.6 s at sf0.1, bit-identical output): map
-    element_at is a LINEAR scan of the 1024-entry broadcast map, so the
-    reconstruction does 16 lookups (one per subspace) rather than 64
-    (one per dim), and higher-order functions are CodegenFallback
-    (interpreted), so the cosine is ONE fused fold with a (dot, norm)
-    struct accumulator — the shared cosine() helper references its
-    argument three times, which re-evaluates the whole reconstruction
-    tree per reference. The fold still accumulates the same terms in the
-    same ascending-dim order, so the result is bit-identical to
-    cosine()/list_cosine_similarity and the oracle is unchanged.
+    SQ8 tiers; reconstruction + cosine run in the Arrow mapInPandas
+    kernel idiom emb_matryoshka_recall established (r11; interleaved A/B
+    2.4 → 1.45 s at sf0.1, bit-identical output): the dequantized
+    codebook (16×64 4-dim sub-vectors ≈ 32 KB, scale-constant — FAISS
+    holds exactly this table in RAM on every searcher) is collected once
+    and closed over the kernel, xhat[d] = centroid[d] + cb[d] is the
+    same single IEEE add the previous interpreted zip_with did, and the
+    (dot, |xhat|²) accumulation walks dims ascending in float64 — the
+    identical left-to-right summation as the JVM fold and DuckDB's
+    list_cosine_similarity, so the result is bit-identical and the
+    oracle is unchanged. (History: r9 cut the interpreted HOF constant
+    4× with per-subspace map lookups + a fused single fold; r11 removed
+    the interpreted per-row tree entirely.)
     Measured operating point at sf0.01 (tests/test_llm_ops.py):
     recall@5 0.58 vs exact, candidate agreement 0.60 vs float IVF, score
     error max 0.12 / mean 0.034 — the honest price of the coarse lattice;
@@ -2550,9 +2568,9 @@ def _pq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-scored PQ candidates (query_id, neighbor_id, sim_pq), shared
     by sim_ann_ivf_pq and sim_ann_ivf_pq_refine: builds/loads the persisted
     codebook + codes artifacts and scores every probed-cell candidate by
-    reconstructed cosine. The design rationale and the two measured
-    expression-layer choices are documented in sim_ann_ivf_pq's docstring;
-    the oracle twin is _SQL_PQ_CTES."""
+    reconstructed cosine in an Arrow mapInPandas kernel (bit-parity
+    rationale in sim_ann_ivf_pq's docstring); the oracle twin is
+    _SQL_PQ_CTES."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids, assignment = _ivf_build(spark, sf_dir, e)
     ed = F.col("embedding").cast("array<double>")
@@ -2652,29 +2670,17 @@ def _pq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _index_cache_dir(sf_dir, f"ivf_pq_codes_{_PQ_M}x{_PQ_KS}"), build_codes
     )
 
-    # the whole codebook as ONE broadcast row: map (j*100+code) -> 4-dim
-    # dequantized sub-vector (_PQ_DIM/_PQ_M dims per entry; 16*64 entries
-    # of 4 doubles ~= 32 KB) — the PQ analogue of the kmeans
-    # single-broadcast-row centroid idiom
-    cbm_row = (
-        codebook.groupBy("j", "code")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("d", "cv"))),
-                lambda s: s["cv"] / F.lit(_PQ_SCALE),
-            ).alias("subv")
-        )
-        .agg(
-            F.map_from_entries(
-                F.collect_list(
-                    F.struct(
-                        (F.col("j") * 100 + F.col("code")).cast("int").alias("k"),
-                        F.col("subv").alias("v"),
-                    )
-                )
-            ).alias("cbm")
-        )
-    )
+    # The dequantized codebook as an in-memory (m, ks, sub) float64 array,
+    # collected once per invocation: m*ks*sub = 4096 doubles (~32 KB) that
+    # stay scale-CONSTANT at 100 TB (FAISS holds exactly this table in RAM
+    # on every searcher) — a k-row collect of an index artifact, not a
+    # driver loop over data. cv/_PQ_SCALE is the same single IEEE division
+    # the old JVM map builder did.
+    import numpy as np
+
+    cb_arr = np.zeros((_PQ_M, _PQ_KS, sub), dtype=np.float64)
+    for r in codebook.collect():
+        cb_arr[r["j"], r["code"], r["d"]] = r["cv"] / _PQ_SCALE
 
     queries = e.filter(F.col("vec_id") < 10)
     probes = _ivf_nearest_cells(queries, centroids, _IVF_NPROBE).select(
@@ -2689,50 +2695,64 @@ def _pq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         norm("embedding").alias("q_norm"),
     )
-    # one map lookup per SUBSPACE (16), not per dim (64): element_at on a
-    # broadcast map is a linear scan of all 1024 entries, so lookup count
-    # is the dominant per-row cost of the interpreted reconstruction.
-    # Built as ONE parsed SQL expression: the 16-subspace listcomp of
-    # zip_with/slice/element_at Columns cost ~0.37 s of driver-side Py4J
-    # latency per invocation (r10 profile) for an identical expression
-    # tree — the probe's EXECUTED plan is unchanged.
-    xhat = F.expr(
-        "flatten(array("
-        + ",".join(
-            f"zip_with(slice(CAST(centroid AS ARRAY<DOUBLE>), {j * sub + 1}, {sub}),"
-            f" element_at(cbm, CAST({j * 100} + element_at(codes, {j + 1}) AS INT)),"
-            " (c, b) -> c + b)"
-            for j in range(_PQ_M)
-        )
-        + "))"
-    )
-    # fused single-fold cosine: HOFs are CodegenFallback, and the shared
-    # cosine() helper would re-evaluate the xhat tree once per reference
-    # (dot + both norm legs). One zip_with + one struct-accumulator fold
-    # touches xhat exactly once per row; the dot and |xhat|² partial sums
-    # accumulate the same terms in the same ascending-dim order as
-    # cosine()/list_cosine_similarity, so the value is bit-identical and
-    # the oracle needs no change.
-    ad = F.col("q_emb").cast("array<double>")
-    zipped = F.zip_with(
-        ad, xhat, lambda x, y: F.struct((x * y).alias("xy"), (y * y).alias("yy"))
-    )
-    acc = F.aggregate(
-        zipped,
-        F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("n")),
-        lambda s, v: F.struct((s["d"] + v["xy"]).alias("d"), (s["n"] + v["yy"]).alias("n")),
-    )
-    sim_pq = acc["d"] / (F.col("q_norm") * F.sqrt(acc["n"]))
+    # r11: reconstruction + cosine run in the Arrow-batched kernel idiom
+    # emb_matryoshka_recall proved in r10 (mapInPandas, dims accumulated
+    # ascending in float64 — the identical left-to-right IEEE summation as
+    # the old interpreted zip_with/aggregate fold and as DuckDB's
+    # list_cosine_similarity, so the bits cannot move) instead of an
+    # interpreted CodegenFallback HOF tree per candidate row. Per-element
+    # parity: xhat[d] = centroid[d] + cb[d] is the same single add the old
+    # zip_with did; sim = dot/(q_norm·√|xhat|²) multiplies and divides in
+    # the same order; np.sqrt and Java Math.sqrt are both correctly
+    # rounded. Only the six needed columns cross the Arrow boundary
+    # (guide §4.1); rounding stays JVM-side (HALF_UP, as the oracle
+    # rounds).
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["q_emb"].to_numpy()).astype(np.float64)
+            cent = np.stack(pdf["centroid"].to_numpy()).astype(np.float64)
+            cds = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            n = len(pdf)
+            xhat = np.empty((n, _PQ_DIM), dtype=np.float64)
+            for j in range(_PQ_M):
+                sl = slice(j * sub, (j + 1) * sub)
+                xhat[:, sl] = cent[:, sl] + cb_arr[j, cds[:, j], :]
+            dot, nrm = np.zeros(n), np.zeros(n)
+            for d in range(_PQ_DIM):  # ascending dims == sequential fold
+                xd = xhat[:, d]
+                dot += q[:, d] * xd
+                nrm += xd * xd
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "sim_raw": dot / (pdf["q_norm"].to_numpy() * np.sqrt(nrm)),
+                }
+            )
+
     cand = (
         codes.join(F.broadcast(probes), "cell")
         .join(F.broadcast(centroids), "cell")
         .join(F.broadcast(q_emb), "query_id")
-        .crossJoin(F.broadcast(cbm_row))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(sim_pq, 6).alias("sim_pq"),
+            "q_emb",
+            "q_norm",
+            "centroid",
+            "codes",
+        )
+        .mapInPandas(
+            kernel, "query_id long, neighbor_id long, sim_raw double"
+        )
+        .select(
+            "query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim_pq")
         )
     )
     return cand
@@ -3696,27 +3716,53 @@ def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     inertia is a per-vector micro-scaled integer (floor((1-cos)·1e6+0.5))
     summed exactly — no float summation order anywhere.
 
-    Scale: assignment is SHUFFLE-FREE — the k centroids collapse into ONE
-    broadcast row carrying an array of (cell, centroid, norm) structs, and
-    the per-vector argmax is a narrow higher-order fold (transform +
+    Scale: assignment is SHUFFLE-FREE — the k centroids ride into the
+    per-vector argmax as ONE literal array of (cell, centroid, norm)
+    structs, and the argmax is a narrow higher-order fold (transform +
     array_min over struct(-csim, cell), whose lexicographic min IS the
     cosine-desc/cell-asc argmax, order-independent so no window, no
     corpus exchange). Per iteration the only exchanges are the two
     k-sized partial-aggregated reduces (cell stats; (cell, pos) means) —
     map-side combine shrinks both to k·dim rows before the wire.
-    Centroids are localCheckpointed per iteration so the unrolled loop
-    stays O(iters × corpus), not O(iters² × corpus) of re-derived lineage.
+    Centroids live on the DRIVER between iterations (r11): each refit is
+    collected — k×dim = 8×64 doubles, scale-CONSTANT, the textbook Lloyd
+    driver loop, not a data collect — and folded back as a literal, so
+    the unrolled loop stays O(iters × corpus) with no mid-loop
+    localCheckpoint jobs, no per-iteration collect_list aggregate, and no
+    broadcast exchanges. Bit parity is inherited: collected doubles
+    round-trip exactly (repr ↔ Spark's `<repr>D` lexer, the
+    lit_double_array contract) and the literal centroid norm is the same
+    ascending-dim float64 fold + correctly-rounded sqrt as the norm()
+    helper, so every csim is the identical IEEE expression as before
+    (pinned bit-for-bit in tests/test_llm_ops.py).
     Iteration count is fixed (the curve IS the output); a
     convergence-driven variant would stop on the same 1-row signature
     idiom cluster_connected_components uses."""
+    import math
+
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cents = (
+    cent_rows = (
         e.orderBy("vec_id")
         .limit(_KM_K)
         .select(F.col("vec_id").alias("cell"), F.col("emb").alias("centroid"))
+        .collect()
     )
+
+    def _cs_lit(rows) -> Column:
+        entries = []
+        for r in sorted(rows, key=lambda x: x["cell"]):
+            arr = ",".join(repr(float(v)) + "D" for v in r["centroid"])
+            s = 0.0
+            for v in r["centroid"]:
+                fv = float(v)
+                s += fv * fv
+            entries.append(
+                f"struct({int(r['cell'])}L AS cell, array({arr}) AS centroid,"
+                f" {repr(math.sqrt(s))}D AS cn)"
+            )
+        return F.expr("array(" + ",".join(entries) + ")")
     # the argmax fold as ONE parsed SQL expression, hoisted out of the
     # loop: the Column form (transform + nested aggregate/zip_with
     # lambdas, built 3x) cost ~0.4 s of driver-side Py4J latency per
@@ -3730,15 +3776,8 @@ def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = []
     for i in range(1, _KM_ITERS + 1):
-        cs_row = cents.select(
-            F.collect_list(
-                F.struct(
-                    F.col("cell"), F.col("centroid"), norm("centroid").alias("cn")
-                )
-            ).alias("cs")
-        )
         assign = (
-            e.crossJoin(F.broadcast(cs_row))
+            e.withColumn("cs", _cs_lit(cent_rows))
             .select("vec_id", "emb", best.alias("b"))
             .select(
                 "vec_id",
@@ -3783,7 +3822,7 @@ def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("m")
                 )
             )
-            cents = (
+            cent_rows = (
                 means.groupBy("cell")
                 .agg(
                     F.transform(
@@ -3791,7 +3830,7 @@ def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda s: s["m"],
                     ).alias("centroid")
                 )
-                .localCheckpoint()
+                .collect()
             )
     out = stats[0]
     for s in stats[1:]:

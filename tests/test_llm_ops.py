@@ -1084,6 +1084,110 @@ def test_emb_kmeans_inertia_curve(spark, sf_dir):
     assert all(a >= b for a, b in zip(inertias, inertias[1:])), inertias
 
 
+def test_kmeans_literal_centroids_bit_identical_to_broadcast_loop(spark, sf_dir):
+    """r11 internals pin: emb_kmeans_inertia's driver-collected literal
+    centroids must reproduce the r10 broadcast/localCheckpoint loop
+    BIT-for-bit — same cells, same occupancies, same inertia doubles on
+    every iteration row. The test rebuilds the old loop (collect_list
+    centroid row → broadcast crossJoin → per-iteration localCheckpoint)
+    and compares exact row sets: collected doubles round-trip exactly
+    through repr/`<repr>D`, and the literal cn is the same ascending-dim
+    fold + sqrt as norm(), so nothing may move."""
+    from pyspark.sql import functions as F
+
+    from t20_database_etl_pipeline_assignment_spark.operators.llm import (
+        _KM_ITERS,
+        _KM_K,
+        _sql_fold_dot,
+        norm,
+    )
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+
+    new = {
+        tuple(r)
+        for r in QUERIES["emb_kmeans_inertia"](spark, sf_dir).collect()
+    }
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = (
+        e.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(F.col("vec_id").alias("cell"), F.col("emb").alias("centroid"))
+    )
+    _dot = _sql_fold_dot("emb", "c.centroid")
+    _vn = f"sqrt({_sql_fold_dot('emb', 'emb')})"
+    best = F.expr(
+        "array_min(transform(cs, c -> struct("
+        f"-({_dot} / ({_vn} * c.cn)) AS neg, c.cell AS cell)))"
+    )
+    stats = []
+    for i in range(1, _KM_ITERS + 1):
+        cs_row = cents.select(
+            F.collect_list(
+                F.struct(
+                    F.col("cell"), F.col("centroid"), norm("centroid").alias("cn")
+                )
+            ).alias("cs")
+        )
+        assign = (
+            e.crossJoin(F.broadcast(cs_row))
+            .select("vec_id", "emb", best.alias("b"))
+            .select(
+                "vec_id",
+                "emb",
+                F.col("b.cell").alias("cell"),
+                (-F.col("b.neg")).alias("csim"),
+            )
+        )
+        inertia_unit = F.floor(
+            (F.lit(1.0) - F.col("csim")) * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long")
+        stats.append(
+            assign.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n_vectors"),
+                (F.sum(inertia_unit).cast("double") / F.lit(1000000.0)).alias(
+                    "inertia"
+                ),
+            )
+            .select(
+                F.lit(i).cast("int").alias("iter"), "cell", "n_vectors", "inertia"
+            )
+        )
+        if i < _KM_ITERS:
+            scaled_v = F.floor(
+                F.col("v") * F.lit(1000000000.0) + F.lit(0.5)
+            ).cast("long")
+            means = (
+                assign.select("cell", F.posexplode("emb").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(
+                    (
+                        F.sum(scaled_v).cast("double")
+                        / F.lit(1000000000.0)
+                        / F.count(F.lit(1)).cast("double")
+                    ).alias("m")
+                )
+            )
+            cents = (
+                means.groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("centroid")
+                )
+                .localCheckpoint()
+            )
+    old_df = stats[0]
+    for s in stats[1:]:
+        old_df = old_df.unionByName(s)
+    old = {tuple(r) for r in old_df.collect()}
+    assert old == new  # exact equality, doubles included
+
+
 def test_semantic_cluster_dedup_model(spark, sf_dir):
     """Full model reconciliation of dedup_semantic_cluster against the
     global brute-force pair set: (1) exact-dup recall is 1.0 by the clone
@@ -1140,6 +1244,112 @@ def test_semantic_cluster_dedup_model(spark, sf_dir):
     for a, b in truth:
         if b not in drops:
             assert cell[a % 1000000] != cell[b % 1000000], (a, b)
+
+
+def test_pq_arrow_kernel_bit_identical_to_jvm_fold(spark, sf_dir):
+    """r11 internals pin: the Arrow mapInPandas PQ scorer must be
+    BIT-identical to the interpreted JVM expression it replaced (the r9-r10
+    shape: per-subspace broadcast-map reconstruction + fused single-fold
+    cosine). The test rebuilds that exact expression from the same staged
+    artifacts and asserts exact float equality on every (query, neighbor)
+    score — the ascending-dim float64 accumulation argument, executed."""
+    from pyspark.sql import functions as F
+
+    from t20_database_etl_pipeline_assignment_spark.operators.llm import (
+        _IVF_NPROBE,
+        _PQ_DIM,
+        _PQ_KS,
+        _PQ_M,
+        _PQ_SCALE,
+        _cached_df,
+        _index_cache_dir,
+        _ivf_build,
+        _ivf_nearest_cells,
+        _pq_candidates,
+        norm,
+    )
+    from t20_database_etl_pipeline_assignment_spark.sources.tables import table
+
+    sub = _PQ_DIM // _PQ_M
+    # kernel path first: constructing it also builds the staged artifacts
+    new = {
+        (r.query_id, r.neighbor_id): r.sim_pq
+        for r in _pq_candidates(spark, sf_dir).collect()
+    }
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids, _ = _ivf_build(spark, sf_dir, e)
+    codebook = _cached_df(
+        spark, _index_cache_dir(sf_dir, f"ivf_pq_codebook_{_PQ_M}x{_PQ_KS}"), None
+    )
+    codes = _cached_df(
+        spark, _index_cache_dir(sf_dir, f"ivf_pq_codes_{_PQ_M}x{_PQ_KS}"), None
+    )
+    cbm_row = (
+        codebook.groupBy("j", "code")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "cv"))),
+                lambda s: s["cv"] / F.lit(_PQ_SCALE),
+            ).alias("subv")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("j") * 100 + F.col("code")).cast("int").alias("k"),
+                        F.col("subv").alias("v"),
+                    )
+                )
+            ).alias("cbm")
+        )
+    )
+    queries = e.filter(F.col("vec_id") < 10)
+    probes = _ivf_nearest_cells(queries, centroids, _IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    q_emb = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm("embedding").alias("q_norm"),
+    )
+    xhat = F.expr(
+        "flatten(array("
+        + ",".join(
+            f"zip_with(slice(CAST(centroid AS ARRAY<DOUBLE>), {j * sub + 1}, {sub}),"
+            f" element_at(cbm, CAST({j * 100} + element_at(codes, {j + 1}) AS INT)),"
+            " (c, b) -> c + b)"
+            for j in range(_PQ_M)
+        )
+        + "))"
+    )
+    ad = F.col("q_emb").cast("array<double>")
+    zipped = F.zip_with(
+        ad, xhat, lambda x, y: F.struct((x * y).alias("xy"), (y * y).alias("yy"))
+    )
+    acc = F.aggregate(
+        zipped,
+        F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("n")),
+        lambda s, v: F.struct(
+            (s["d"] + v["xy"]).alias("d"), (s["n"] + v["yy"]).alias("n")
+        ),
+    )
+    sim_pq = acc["d"] / (F.col("q_norm") * F.sqrt(acc["n"]))
+    old_rows = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(centroids), "cell")
+        .join(F.broadcast(q_emb), "query_id")
+        .crossJoin(F.broadcast(cbm_row))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim_pq, 6).alias("sim_pq"),
+        )
+        .collect()
+    )
+    old = {(r.query_id, r.neighbor_id): r.sim_pq for r in old_rows}
+    assert old == new  # exact float equality, every candidate
 
 
 def test_ann_ivf_pq_tracks_float_path(spark, sf_dir):

@@ -567,6 +567,20 @@ def test_ann_recall_curve_joins_are_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_bracketing_windows_have_no_unbounded_following_frame(spark, sf_dir):
+    """r11 internals pin: resample_interpolate_linear and join_asof_nearest
+    recover each row's NEXT observation with a reversed-order RUNNING
+    frame, never a (CURRENT ROW, UNBOUNDED FOLLOWING) frame — Spark's
+    UnboundedFollowingWindowFunctionFrame re-scans to the partition end
+    for every row (O(rows²) per partition), which is exactly the frame a
+    hot partition cannot afford at 100 TB. Value parity with the forward
+    formulation is oracle-pinned (the DuckDB twins still use
+    first_value OVER (... UNBOUNDED FOLLOWING))."""
+    for qid in ("resample_interpolate_linear", "join_asof_nearest"):
+        plan = plan_of(QUERIES[qid](spark, sf_dir))
+        assert "unboundedfollowing" not in plan.lower(), qid
+
+
 def test_emb_kmeans_assignment_is_shuffle_free(spark, sf_dir):
     """emb_kmeans_inertia's 100 TB claim: assignment never exchanges the
     corpus. The k centroids collapse to ONE broadcast array row and the

@@ -136,6 +136,24 @@ SF10_HEADLINE = [
     "sql_large_volume_customer",
     "text_boilerplate_scrub",
     "multimodal_image_dhash",
+    # round-11 (verdict item 4): the r10 session-2 single-keyed-exchange
+    # reshapes get 100x telemetry — prove the hash(span)/doc_id single
+    # exchanges don't skew and the exchange cuts hold at scale
+    # (cluster_connected_components is already in the tier above)
+    "dedup_span_ngram",
+    "anomaly_mad",
+    "contamination_ngram",
+    "dedup_cluster_canonical",
+    "text_ngram_novelty",
+    "text_bigram_surprisal",
+    "emb_matryoshka_recall",
+    # round-11 restructured faces: the Arrow PQ scorer pair, the
+    # literal-centroid kmeans loop, and the narrowed band-sweep truth
+    # exchange (sf10-spotted already; timed here for the telemetry)
+    "sim_ann_ivf_pq",
+    "sim_ann_ivf_pq_refine",
+    "emb_kmeans_inertia",
+    "dedup_minhash_band_sweep",
 ]
 
 # staged-artifact builders + python-worker bootstrap, untimed (as bench.py)
@@ -186,11 +204,19 @@ SPOT_QUERIES = [
 # curves hold at 100x, not just at fixture scale. Their exact truth tiers
 # stay linear on the big fixture because _perturb_documents gives every
 # copy a disjoint token vocabulary (no cross-copy shingle/neighbor blow-up).
-SF10_SPOT = SF10_HEADLINE + [
+SF10_SPOT = [
+    # round-11: the PQ faces are TIMED at sf10 (SF10_HEADLINE) but not
+    # oracle-spotted — their oracle replays the full deterministic
+    # codebook build in SQL, which exhausted DuckDB's temp volume at the
+    # 200k-vector fixture (see the round-9 note below); their big-SF
+    # oracle gate is CONTRACT_sf1.json (271/271 at sf1).
+    q for q in SF10_HEADLINE
+    if q not in ("sim_ann_ivf_pq", "sim_ann_ivf_pq_refine")
+] + [
     "sql_local_supplier_share",
     "sql_value_share_threshold",
     "sim_ann_ivf_recall_curve",
-    "dedup_minhash_band_sweep",
+    # (dedup_minhash_band_sweep now rides in from SF10_HEADLINE, r11)
     # round-8: the int8-residual ADC tier — prove the quantized inverted
     # file reconstructs the same ranked answers at 100x corpus size
     "sim_ann_ivf_adc",

@@ -151,20 +151,22 @@ SHOWCASE = [
         "sim_ann_ivf_pq",
         "IVF-PQ search: the probe-time corpus scan is the persisted "
         "m=16-code table (ivf_pq_codes — ~5x smaller than the SQ8 codes, "
-        "~21x than the float corpus; no embedding column downstream), the "
-        "whole codebook arrives as ONE ~32 KB broadcast row, "
-        "reconstruction is 16 per-subspace map lookups + zip_with adds "
-        "scored by one fused-fold cosine (HOFs are interpreted; one "
-        "lookup per subspace and one xhat evaluation per row is the "
-        "measured 4x probe win), and the join/window shape is identical "
-        "to the float and SQ8 rungs — swapping compression tiers never "
-        "changes the plan.",
+        "~21x than the float corpus; no embedding column downstream); "
+        "reconstruction + cosine run in ONE Arrow MapInPandas kernel "
+        "(r11 — the ~32 KB scale-constant codebook is collected and "
+        "closed over it, the FAISS in-RAM shape; ascending-dim float64 "
+        "accumulation is bit-identical to the old interpreted fold, "
+        "pinned in tests), so the plan shows a MapInPandas node over the "
+        "six needed columns and NO per-row interpreted HOF fold; the "
+        "join/window shape is identical to the float and SQ8 rungs — "
+        "swapping compression tiers never changes the plan.",
     ),
     (
         "sim_ann_ivf_pq_refine",
         "PQ probe + exact re-rank (FAISS IndexRefineFlat shape): the "
         "candidate stage is the identical PQ probe plan (shared "
-        "_pq_candidates — codes-table scan, broadcast codebook), then the "
+        "_pq_candidates — codes-table scan, Arrow MapInPandas scorer), "
+        "then the "
         "c*|Q|-row top-c candidate list arrives as the BUILD side of a "
         "BroadcastHashJoin on neighbor_id against the float corpus "
         "scanned once — a point-lookup fetch, no SortMergeJoin, no new "
